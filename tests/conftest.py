@@ -7,12 +7,20 @@ all; see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Force CPU even when the session env points at a TPU tunnel: the tunnel's
+# sitecustomize registers its backend at interpreter startup and overrides
+# the JAX_PLATFORMS env var, so the config API is the reliable switch.
+# Unit tests must be fast, deterministic, and exercise the 8-device
+# sharding path.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
