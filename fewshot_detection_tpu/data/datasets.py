@@ -1,0 +1,359 @@
+"""Detection + support (meta) datasets.
+
+Pure-python samplers feeding the jit'd train/eval steps; no torch DataLoader.
+Reference behavior being reproduced (file:line in /root/reference):
+  * listDataset — base-class filtering, multi-scale schedule keyed to the
+    `seen` counter (dataset.py:223-245), label-path derivation
+    (dataset.py:265-271)
+  * MetaDataset — per-class support sampling interleaved so each contiguous
+    n_cls block holds one sample per class (dataset.py:311-348), 4-channel
+    (RGB+mask) input synthesis from one labeled box (dataset.py:378-403),
+    resampling when a box yields an empty mask (dataset.py:423-445),
+    ensemble enumeration with a validity-filter prepass (dataset.py:333-368,
+    447-457), per-class labels_1c paths (dataset.py:472-488)
+
+The multi-scale schedule is bucketized so XLA compiles at most the 10 fixed
+sizes {320..608 step 32} (SURVEY.md §2.3 "elastic input").
+"""
+
+from __future__ import annotations
+
+import os
+import random as _random
+
+import numpy as np
+from PIL import Image
+
+from ..config.settings import Settings
+from .augment import (
+    augment_image,
+    fill_truth_detection,
+    fill_truth_detection_meta,
+    image_to_array,
+    load_label_boxes,
+)
+
+JITTER = 0.2
+HUE = 0.1
+SATURATION = 1.5
+EXPOSURE = 1.5
+
+
+def get_labpath(imgpath: str) -> str:
+    return (
+        imgpath.replace("images", "labels")
+        .replace("JPEGImages", "labels")
+        .replace(".jpg", ".txt")
+        .replace(".png", ".txt")
+    )
+
+
+def get_labpath_1c(imgpath: str, cls_name: str, data: str = "voc") -> str:
+    """Per-class label path under labels_1c/<class>/ (dataset.py:472-488)."""
+    if data == "voc":
+        return (
+            imgpath.replace("images", f"labels_1c/{cls_name}")
+            .replace("JPEGImages", f"labels_1c/{cls_name}")
+            .replace(".jpg", ".txt")
+            .replace(".png", ".txt")
+        )
+    if "train2014" in imgpath:
+        return imgpath.replace(
+            "images/train2014", f"labels_1c/train2014/{cls_name}"
+        ).replace(".jpg", ".txt").replace(".png", ".txt")
+    if "val2014" in imgpath:
+        return imgpath.replace(
+            "images/val2014", f"labels_1c/val2014/{cls_name}"
+        ).replace(".jpg", ".txt").replace(".png", ".txt")
+    raise ValueError(f"cannot derive labels_1c path for {imgpath!r}")
+
+
+def multiscale_size(seen: int, rng: _random.Random, multiscale: bool) -> int:
+    """Pick the square input size for the next 64-sample block
+    (dataset.py:223-245): fixed 416 early, widening range with progress."""
+    if not multiscale:
+        return 416
+    block = 4000 * 64
+    if seen < block:
+        return 13 * 32
+    if seen < 2 * block:
+        return (rng.randint(0, 3) + 13) * 32
+    if seen < 3 * block:
+        return (rng.randint(0, 5) + 12) * 32
+    if seen < 4 * block:
+        return (rng.randint(0, 7) + 11) * 32
+    return (rng.randint(0, 9) + 10) * 32
+
+
+class DetectionDataset:
+    """Detection-image sampler (listDataset equivalent).
+
+    Yields (image HWC float32 [0,1], label) where label is (50*5,) flat for
+    plain training or (n_cls, 50*5) for meta training.
+    """
+
+    def __init__(
+        self,
+        lines: list[str] | str,
+        settings: Settings,
+        *,
+        shape: tuple[int, int] | None = None,
+        shuffle: bool = True,
+        train: bool = False,
+        seen: int = 0,
+        filter_valid: bool | None = None,
+        rng: _random.Random | None = None,
+    ):
+        from .lists import image_is_valid, is_dict
+
+        self.settings = settings
+        self.rng = rng or _random.Random()
+        if isinstance(lines, str):
+            if is_dict(lines):
+                rows: list[str] = []
+                with open(lines) as f:
+                    files = [ln.rstrip().split()[-1] for ln in f if ln.strip()]
+                for fname in files:
+                    with open(fname) as f:
+                        rows.extend(f.readlines())
+                lines = sorted(set(rows))
+            else:
+                with open(lines) as f:
+                    lines = f.readlines()
+            if filter_valid is None:
+                filter_valid = train
+        self.lines = [l.rstrip() for l in lines if l.strip()]
+        if filter_valid:
+            self.lines = [
+                l for l in self.lines if image_is_valid(l, settings.base_ids)
+            ]
+        if shuffle:
+            self.rng.shuffle(self.lines)
+        self.train = train
+        self.shape = shape or (settings.width, settings.height)
+        self.seen = seen
+        self.first_batch = False
+
+    def __len__(self) -> int:
+        return len(self.lines)
+
+    def _maybe_rescale(self, index: int, batch_size: int = 64) -> None:
+        s = self.settings
+        if (
+            self.train
+            and index % batch_size == 0
+            and s.data != "coco"
+            and s.multiscale
+        ):
+            size = multiscale_size(self.seen, self.rng, s.multiscale)
+            self.shape = (size, size)
+
+    def __getitem__(self, index: int):
+        s = self.settings
+        imgpath = self.lines[index]
+        self._maybe_rescale(index)
+        labpath = get_labpath(imgpath)
+
+        img = Image.open(imgpath).convert("RGB")
+        img, flip, dx, dy, sx, sy = augment_image(
+            img, self.shape, self.rng,
+            jitter=JITTER, hue=HUE, saturation=SATURATION, exposure=EXPOSURE,
+            augment=self.train,
+        )
+        if s.metayolo:
+            label = fill_truth_detection_meta(
+                labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy, s.base_ids
+            )
+        else:
+            imgid = os.path.basename(imgpath).split(".")[0]
+            joint = s.yolo_joint and imgid in s.metaids
+            label = fill_truth_detection(
+                labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy, s.base_ids,
+                joint_keep=joint,
+            )
+        self.seen += 1
+        return image_to_array(img), label
+
+    def batches(self, batch_size: int, drop_last: bool = True):
+        """Yield stacked (images (B,H,W,3), labels) numpy batches. All images
+        in a batch share the block's scale (the schedule changes only at
+        64-sample boundaries, matching the reference's worker stride)."""
+        n = len(self.lines)
+        end = n - (n % batch_size) if drop_last else n
+        for start in range(0, end, batch_size):
+            imgs, labels = [], []
+            for i in range(start, min(start + batch_size, n)):
+                im, lb = self[i]
+                imgs.append(im)
+                labels.append(lb)
+            yield np.stack(imgs), np.stack(labels)
+
+
+class MetaDataset:
+    """Per-class support sampler.
+
+    train mode: an endless interleaved stream — each consecutive block of
+    n_cls samples holds one (RGB, mask) support pair per class, in class
+    order (so a contiguous per-device shard is a full class set,
+    dataset.py:339-348).
+    ensemble mode: enumerates ALL support images once, after a filter()
+    prepass dropping images whose boxes give empty masks.
+    """
+
+    def __init__(
+        self,
+        metafiles: str,
+        settings: Settings,
+        *,
+        train: bool = False,
+        ensemble: bool = False,
+        with_ids: bool = False,
+        num_replicas: int | None = None,
+        rng: _random.Random | None = None,
+    ):
+        from .lists import parse_dict_file
+
+        self.settings = settings
+        self.rng = rng or _random.Random()
+        s = settings
+        if train:
+            self.classes = s.base_classes
+            factor = 4 if s.data == "coco" else 1
+        else:
+            self.classes = s.base_classes if s.data == "coco" else s.classes
+            factor = 10
+
+        num_replicas = num_replicas or s.num_gpus
+        nbatch = factor * 500 * 64 * num_replicas // s.batch_size
+
+        files = dict(parse_dict_file(metafiles))
+        self.metalines: list[list[str]] = []
+        metainds: list[list[tuple[int, int]]] = []
+        for i, cls in enumerate(self.classes):
+            with open(files[cls]) as f:
+                lines = [l.rstrip() for l in f if l.strip()]
+            self.metalines.append(lines)
+            if ensemble:
+                metainds.append([(i, j) for j in range(len(lines))])
+            else:
+                inds = [self.rng.randrange(len(lines)) for _ in range(nbatch)]
+                metainds.append([(i, j) for j in inds])
+
+        if ensemble:
+            self.inds = [p for cls_list in metainds for p in cls_list]
+        else:
+            # interleave: class-major within each block of n_cls
+            self.inds = [p for group in zip(*metainds) for p in group]
+        self.meta_cnts = [len(l) for l in self.metalines]
+        if s.randmeta:
+            self.rng.shuffle(self.inds)
+
+        self.train = train
+        self.ensemble = ensemble
+        self.with_ids = with_ids
+        self.batch_size = len(self.classes) * num_replicas
+        self.meta_shape = (s.meta_width, s.meta_height)
+        self.mask_shape = (s.mask_width, s.mask_height)
+        if ensemble:
+            self.inds = self._filter(self.inds)
+
+    def __len__(self) -> int:
+        return len(self.inds)
+
+    # -- internals ---------------------------------------------------------
+
+    def _load_support(self, clsid: int, which: int | str):
+        """One augmented support image + its transformed per-class boxes."""
+        if isinstance(which, int):
+            imgpath = self.metalines[clsid][which].rstrip()
+        else:
+            imgpath = which
+        labpath = get_labpath_1c(
+            imgpath, self.classes[clsid], self.settings.data
+        )
+        img = Image.open(imgpath).convert("RGB")
+        img, flip, dx, dy, sx, sy = augment_image(
+            img, self.meta_shape, self.rng,
+            jitter=JITTER, hue=HUE, saturation=SATURATION, exposure=EXPOSURE,
+            augment=self.train,
+        )
+        boxes = load_label_boxes(labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy)
+        return img, boxes
+
+    def _make_mask(self, box: np.ndarray) -> np.ndarray | None:
+        """Binary object mask (H, W, 1) from one normalized box
+        (dataset.py:378-398); None when it rounds to empty."""
+        w, h = self.mask_shape
+        x1 = int(max(0, round((box[0] - box[2] / 2) * w)))
+        y1 = int(max(0, round((box[1] - box[3] / 2) * h)))
+        x2 = int(min(w, round((box[0] + box[2] / 2) * w)))
+        y2 = int(min(h, round((box[1] + box[3] / 2) * h)))
+        if x1 == x2 or y1 == y2:
+            return None
+        mask = np.zeros((h, w, 1), np.float32)
+        mask[y1:y2, x1:x2, :] = 1.0
+        return mask
+
+    def _compose_input(self, img: Image.Image, box: np.ndarray):
+        """(image array, mask) per metain_type; type 3/4 appends the cropped
+        object resized to full size (dataset.py:386-391)."""
+        s = self.settings
+        mask = self._make_mask(box)
+        if mask is None:
+            return None, None
+        arr = image_to_array(img)
+        if s.metain_type in (3, 4):
+            w, h = self.mask_shape
+            x1 = int(max(0, round((box[0] - box[2] / 2) * w)))
+            y1 = int(max(0, round((box[1] - box[3] / 2) * h)))
+            x2 = int(min(w, round((box[0] + box[2] / 2) * w)))
+            y2 = int(min(h, round((box[1] + box[3] / 2) * h)))
+            croped = img.crop((x1, y1, x2, y2)).resize(img.size)
+            arr = np.concatenate([arr, image_to_array(croped)], axis=-1)
+        return arr, mask
+
+    def _get(self, clsid: int, metaind: int | str):
+        img, boxes = self._load_support(clsid, metaind)
+        for box in boxes:
+            arr, mask = self._compose_input(img, box)
+            if arr is not None:
+                return arr, mask
+        # resample until a usable mask appears (never during ensemble)
+        while not self.ensemble:
+            imgpath = self.rng.sample(self.metalines[clsid], 1)[0].rstrip()
+            img, boxes = self._load_support(clsid, imgpath)
+            for box in boxes:
+                arr, mask = self._compose_input(img, box)
+                if arr is not None:
+                    return arr, mask
+        return None, None
+
+    def _filter(self, inds):
+        kept = []
+        for clsid, metaind in inds:
+            arr, mask = self._get(clsid, metaind)
+            if arr is not None:
+                kept.append((clsid, metaind))
+        return kept
+
+    # -- public ------------------------------------------------------------
+
+    def __getitem__(self, index: int):
+        clsid, metaind = self.inds[index]
+        arr, mask = self._get(clsid, metaind)
+        if self.with_ids:
+            return arr, mask, clsid
+        return arr, mask
+
+    def batches(self, batch_size: int | None = None):
+        """Yield stacked (metax (B,H,W,C), mask (B,h,w,1)[, clsids])."""
+        bs = batch_size or self.batch_size
+        for start in range(0, len(self.inds) - (0 if self.ensemble else bs - 1),
+                           bs):
+            chunk = [self[i] for i in range(start, min(start + bs, len(self.inds)))]
+            arrs = np.stack([c[0] for c in chunk])
+            masks = np.stack([c[1] for c in chunk])
+            if self.with_ids:
+                yield arrs, masks, np.asarray([c[2] for c in chunk])
+            else:
+                yield arrs, masks
