@@ -1,0 +1,89 @@
+"""Benchmark: meta-YOLO episodic train step (fwd+bwd+update), images/sec/chip.
+
+Matches the reference's hot loop (train_meta.py:201-225): per-GPU batch of
+16 detection images at 416x416 with a 15-class support set (the reference
+ran batch 64 over 4 GPUs — dataset.py:348). Compute in bfloat16 with fp32
+accumulation/params.
+
+`vs_baseline` is measured against REF_IMG_PER_SEC_PER_GPU, an estimate of
+the PyTorch-0.3 reference's per-GPU throughput (the repo publishes no
+number — SURVEY.md §6; the training stack did per-step CPU target building
+and a D2H sync, region_loss.py:298). The driver records the raw value
+either way.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_IMG_PER_SEC_PER_GPU = 30.0  # estimated torch-0.3 per-GPU fwd+bwd rate
+
+BATCH = 16
+N_CLS = 15
+SIZE = 416
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fewshot_detection_tpu.config import parse_cfg
+    from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+    from fewshot_detection_tpu.models.spec import build_spec
+    from fewshot_detection_tpu.train import MetaTrainer, init_momentum
+
+    spec = MetaSpec(
+        build_spec(parse_cfg("cfg/darknet_dynamic.cfg")),
+        build_spec(parse_cfg("cfg/reweighting_net.cfg")),
+    )
+    params = init_meta_params(spec, 0)
+    trainer = MetaTrainer(spec, momentum=0.9, weight_decay=0.0005, donate=False)
+    mom = init_momentum(params)
+
+    rng = np.random.RandomState(0)
+    R, b = 1, BATCH
+    target = np.zeros((R, b, N_CLS, 50, 5), np.float32)
+    for i in range(b):
+        c = i % N_CLS
+        target[0, i, c, 0] = [c, 0.5, 0.5, 0.3, 0.3]
+    batch = {
+        "x": jnp.asarray(rng.rand(R, b, SIZE, SIZE, 3), jnp.bfloat16),
+        "metax": jnp.asarray(rng.rand(R, N_CLS, SIZE, SIZE, 3), jnp.bfloat16),
+        "mask": jnp.asarray(
+            (rng.rand(R, N_CLS, SIZE, SIZE, 1) > 0.5), jnp.bfloat16
+        ),
+        "target": jnp.asarray(target),
+        "keep": jnp.ones((R, b * N_CLS), jnp.float32),
+    }
+
+    p, m = params, mom
+    for i in range(WARMUP):
+        p, m, metrics = trainer.step(p, m, batch, seen=20000 + i, lr=1e-5)
+    float(metrics["loss"])  # NOT block_until_ready: the tunneled platform
+    # reports readiness early; a host transfer is the reliable fence
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        p, m, metrics = trainer.step(p, m, batch, seen=30000 + i, lr=1e-5)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    del jax
+
+    img_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "meta_yolo_train_images_per_sec_per_chip",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip (fwd+bwd+update, 416px, 15-way)",
+                "vs_baseline": round(img_per_sec / REF_IMG_PER_SEC_PER_GPU, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,11 @@ def conv2d(
     pad: int,
     groups: int = 1,
 ) -> jax.Array:
-    """Grouped 2D convolution, NHWC x HWIO -> NHWC, fp32 accumulation."""
+    """Grouped 2D convolution, NHWC x HWIO -> NHWC.
+
+    Output keeps the input dtype: on TPU the MXU accumulates bf16 inputs in
+    fp32 internally, and a fp32 preferred_element_type would break the
+    transpose (grad) rule under mixed precision."""
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -57,7 +61,6 @@ def conv2d(
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
 
 

@@ -204,9 +204,7 @@ def fused_reweight_head(
     k = head_w.shape[-1]
     w_cls = dw.reshape(n, c)
     eff = (w_cls.T[:, :, None] * head_w.reshape(c, 1, k)).reshape(c, n * k)
-    y = jnp.einsum(
-        "bhwc,cm->bhwm", x, eff.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    y = jnp.einsum("bhwc,cm->bhwm", x, eff.astype(x.dtype))
     y = y.reshape(b, h, w, n, k).transpose(0, 3, 1, 2, 4).reshape(b * n, h, w, k)
     if head_b is not None:
         y = y + head_b.astype(y.dtype)

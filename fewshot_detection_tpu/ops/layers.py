@@ -87,9 +87,10 @@ def global_avgpool(x: jax.Array) -> jax.Array:
 
 
 def batchnorm_apply(x: jax.Array, bn: dict) -> jax.Array:
-    """Inference BN with running statistics."""
+    """Inference BN with running statistics (affine folded, cast to x dtype)."""
     inv = jax.lax.rsqrt(bn["var"] + BN_EPS) * bn["gamma"]
-    return x * inv + (bn["beta"] - bn["mean"] * inv)
+    bias = bn["beta"] - bn["mean"] * inv
+    return x * inv.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def batchnorm_train(x: jax.Array, bn: dict) -> tuple[jax.Array, dict]:
@@ -105,10 +106,12 @@ def batchnorm_train(x: jax.Array, bn: dict) -> tuple[jax.Array, dict]:
     n = 1
     for a in reduce_axes:
         n *= x.shape[a]
-    mean = jnp.mean(x, axis=reduce_axes)
-    var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+    xf = x.astype(jnp.float32)  # stats in fp32 even for bf16 activations
+    mean = jnp.mean(xf, axis=reduce_axes)
+    var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + BN_EPS) * bn["gamma"]
-    y = x * inv + (bn["beta"] - mean * inv)
+    bias = bn["beta"] - mean * inv
+    y = x * inv.astype(x.dtype) + bias.astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_stats = {
         "mean": (1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,

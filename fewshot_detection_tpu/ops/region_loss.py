@@ -211,7 +211,8 @@ def _split_output(output: jax.Array, region: RegionSpec):
     nB, H, W, _ = output.shape
     A = region.num_anchors
     nC = region.num_classes
-    o = output.reshape(nB, H, W, A, 5 + nC).transpose(0, 3, 4, 1, 2)
+    # loss math in fp32 regardless of the network's compute dtype
+    o = output.astype(jnp.float32).reshape(nB, H, W, A, 5 + nC).transpose(0, 3, 4, 1, 2)
     x = jax.nn.sigmoid(o[:, :, 0])
     y = jax.nn.sigmoid(o[:, :, 1])
     w = o[:, :, 2]
