@@ -1,0 +1,155 @@
+"""Episodic meta training driver (train_meta.py CLI contract).
+
+Usage: python train_meta.py datacfg darknetcfg learnetcfg weightfile
+
+Reproduces the reference driver's control flow (train_meta.py:28-326):
+schedule state restored from the .weights `seen` counter, per-epoch list
+dataset + support stream, step-LR warmup schedule adjusted per batch, LR /
+batch_size and weight_decay * batch_size * factor scaling, periodic
+.weights checkpoints. The per-step compute (forward, loss, SGD, BN merge)
+is one jitted program over a replica-group mesh (train.trainer)."""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+
+import numpy as np
+
+from ..data import MetaDataset, build_dataset
+from ..data.datasets import DetectionDataset
+from ..models import weights_io
+from ..models.meta import MetaSpec, init_meta_params
+from ..models.spec import build_spec
+from ..ops.region_loss import sample_neg_keep
+from ..train import MetaTrainer, init_momentum, lr_schedule, neg_ratio_lr_factor
+from ..utils import format_loss_line, log
+from .common import ensure_backup_dir, replica_layout, resolve_configs
+
+
+def make_episode_batch(imgs, labels, metax, mask, n_groups, neg_ratio, rng):
+    """Stack host arrays into the trainer's (R, ...) layout."""
+    B = imgs.shape[0]
+    n_cls = labels.shape[1]
+    b = B // n_groups
+    keep = sample_neg_keep(labels.reshape(B * n_cls, -1), neg_ratio, rng)
+    return {
+        "x": imgs.reshape(n_groups, b, *imgs.shape[1:]),
+        "metax": metax.reshape(n_groups, n_cls, *metax.shape[1:]),
+        "mask": mask.reshape(n_groups, n_cls, *mask.shape[1:]),
+        "target": labels.reshape(n_groups, b, n_cls, 50, 5),
+        "keep": keep.reshape(n_groups, b * n_cls),
+    }
+
+
+def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
+    data_options, darknetcfg, learnetcfg, settings = resolve_configs(
+        datacfg, darknetcfg_path, learnetcfg_path
+    )
+    net_options = darknetcfg[0]
+    batch_size = int(net_options["batch"])
+    max_batches = int(net_options["max_batches"])
+    learning_rate = float(net_options["learning_rate"])
+    momentum = float(net_options["momentum"])
+    decay = float(net_options["decay"])
+    steps = tuple(float(s) for s in net_options["steps"].split(","))
+    scales = tuple(float(s) for s in net_options["scales"].split(","))
+
+    backupdir = ensure_backup_dir(settings)
+    log("logging to " + backupdir)
+
+    spec = MetaSpec(build_spec(darknetcfg), build_spec(learnetcfg))
+    params = init_meta_params(spec, int(time.time()) % (2**31))
+    (dp, lp), header = weights_io.load_weights(
+        weightfile, [spec.darknet, spec.learnet],
+        [params["darknet"], params["learnet"]],
+    )
+    params = {"darknet": dp, "learnet": lp}
+    seen = header.seen
+
+    trainlist = build_dataset(data_options, settings)
+    nsamples = len(trainlist)
+    processed_batches = 0 if settings.tuning else seen // batch_size
+    init_epoch = 0 if settings.tuning else seen // max(nsamples, 1)
+    max_epochs = max_batches * batch_size // max(nsamples, 1) + 1
+    if settings.tuning:
+        max_epochs = int(math.ceil(settings.max_epoch * 1.0 / settings.repeat))
+    log(f"{settings.repeat} {nsamples} {max_batches} {batch_size}")
+
+    # LR factor keyed to neg sampling (train_meta.py:123-135)
+    probe_meta = MetaDataset(
+        data_options["meta"], settings, train=True, num_replicas=1,
+        rng=random.Random(0),
+    )
+    factor = neg_ratio_lr_factor(settings.neg_ratio, len(probe_meta.classes))
+    log(f"factor: {factor}")
+    learning_rate /= factor
+
+    n_groups, _ = replica_layout(batch_size)
+    trainer = MetaTrainer(
+        spec, momentum=momentum,
+        weight_decay=decay * batch_size * factor,
+        metain_type=settings.metain_type,
+    )
+    mom = init_momentum(params)
+
+    mesh = None
+    if n_groups > 1:
+        from ..parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(n_groups)
+
+    rng = random.Random(int(time.time()))
+    nprng = np.random.RandomState(rng.randrange(2**31))
+
+    for epoch in range(init_epoch, max_epochs):
+        t0 = time.time()
+        ds = DetectionDataset(
+            trainlist, settings, train=True, seen=seen, shuffle=False,
+            rng=rng, filter_valid=False,
+        )
+        metaset = MetaDataset(
+            data_options["meta"], settings, train=True,
+            num_replicas=n_groups, rng=rng,
+        )
+        meta_iter = metaset.batches(n_groups * len(metaset.classes))
+
+        lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+        log(
+            f"epoch {epoch}/{max_epochs}, processed {epoch * nsamples} "
+            f"samples, lr {lr:f}"
+        )
+
+        for imgs, labels in ds.batches(batch_size):
+            metax, mask = next(meta_iter)
+            lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+            processed_batches += 1
+            batch = make_episode_batch(
+                imgs, labels, metax, mask, n_groups, settings.neg_ratio, nprng
+            )
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(mesh, batch)
+            seen += imgs.shape[0]
+            params, mom, metrics = trainer.step(
+                params, mom, batch, seen=seen, lr=lr / batch_size
+            )
+            print(format_loss_line(seen, metrics))
+
+        log(
+            "training with %f samples/s"
+            % (nsamples / max(time.time() - t0, 1e-9))
+        )
+
+        if (epoch + 1) % settings.save_interval == 0:
+            out = f"{backupdir}/{epoch + 1:06d}.weights"
+            log("save weights to " + out)
+            weights_io.save_weights(
+                out, [spec.darknet, spec.learnet],
+                [params["darknet"], params["learnet"]],
+                seen=(epoch + 1) * nsamples,
+            )
+
+    return params

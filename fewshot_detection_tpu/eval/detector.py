@@ -1,0 +1,97 @@
+"""Inference-time detector wrappers: cfg + .weights -> jitted forward.
+
+BN is folded into conv weights at load (fold_batchnorm), so the inference
+graph is conv+bias+leaky only. Multi-size inputs compile one executable per
+geometry (the valid sweeps use a single fixed size)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.darkcfg import parse_cfg
+from ..models import meta as meta_mod
+from ..models.darknet import apply_network, fold_batchnorm, folded_spec, init_params
+from ..models.meta import MetaSpec, init_meta_params
+from ..models.spec import NetSpec, build_spec
+from ..models.weights_io import WeightsHeader, load_weights
+
+
+class PlainDetector:
+    """Static YOLOv2 network (darknet.Darknet equivalent)."""
+
+    def __init__(self, cfgfile: str, weightfile: str | None = None):
+        self.spec = build_spec(parse_cfg(cfgfile))
+        params = init_params(self.spec, 0)
+        self.header = WeightsHeader()
+        if weightfile:
+            (params,), self.header = load_weights(weightfile, [self.spec], [params])
+        self.raw_params = params
+        self.params = fold_batchnorm(self.spec, params)
+        self.fspec = folded_spec(self.spec)
+        self.region = self.spec.region
+        self.width = self.spec.width
+        self.height = self.spec.height
+        self._fwd = jax.jit(
+            lambda p, x: apply_network(self.fspec, p, x, train=False)[0]
+        )
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (B, H, W, 3) float32 [0,1] -> raw head output."""
+        return np.asarray(self._fwd(self.params, jnp.asarray(images)))
+
+
+class MetaDetector:
+    """Meta detector (darknet_meta.Darknet equivalent): class-code
+    extraction + dynamically reweighted detection forward."""
+
+    def __init__(
+        self,
+        darknetcfg: str | list,
+        learnetcfg: str | list,
+        weightfile: str | None = None,
+        metain_type: int = 2,
+    ):
+        dblocks = darknetcfg if isinstance(darknetcfg, list) else parse_cfg(darknetcfg)
+        lblocks = learnetcfg if isinstance(learnetcfg, list) else parse_cfg(learnetcfg)
+        self.spec = MetaSpec(build_spec(dblocks), build_spec(lblocks))
+        params = init_meta_params(self.spec, 0)
+        self.header = WeightsHeader()
+        if weightfile:
+            (dp, lp), self.header = load_weights(
+                weightfile,
+                [self.spec.darknet, self.spec.learnet],
+                [params["darknet"], params["learnet"]],
+            )
+            params = {"darknet": dp, "learnet": lp}
+        self.params = params
+        self.metain_type = metain_type
+        self.region = self.spec.region
+        self.width = self.spec.darknet.width
+        self.height = self.spec.darknet.height
+
+        self._codes = jax.jit(
+            lambda p, mx, mk: meta_mod.meta_forward(
+                self.spec, p, mx, mk, metain_type=self.metain_type, train=False
+            )[0]
+        )
+        self._detect = jax.jit(
+            lambda p, x, dw: meta_mod.detect_forward(
+                self.spec, p, x, list(dw), train=False, fuse=True
+            )[0]
+        )
+
+    def class_codes(self, metax: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
+        """Support batch -> list of per-class code tensors (N, 1, 1, C)."""
+        out = self._codes(self.params, jnp.asarray(metax), jnp.asarray(mask))
+        return [np.asarray(d) for d in out]
+
+    def detect(self, images: np.ndarray, dynamic_weights) -> np.ndarray:
+        dw = tuple(jnp.asarray(d) for d in dynamic_weights)
+        return np.asarray(self._detect(self.params, jnp.asarray(images), dw))
+
+    def __call__(self, images, metax, mask) -> np.ndarray:
+        return self.detect(images, self.class_codes(metax, mask))

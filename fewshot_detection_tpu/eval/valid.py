@@ -1,0 +1,241 @@
+"""Validation sweeps producing comp4_det_test_<class>.txt result files.
+
+Flows reproduced (file:line in /root/reference):
+  * run_valid          — plain sweep, per-class files keyed by predicted
+                         class id (valid.py:12-85)
+  * run_valid_meta     — meta model with fresh per-batch support codes
+                         (valid_meta.py:13-120)
+  * run_valid_ensemble — learnet over EVERY support image, running-mean the
+                         codes per class, optional base-code splice from a
+                         pickle, then a fixed-code detection sweep
+                         (valid_ensemble.py:76-178)
+
+Output rows are `imgid prob x1 y1 x2 y2` in original-image pixels, prob =
+det_conf * cls_conf, one file per class — the contract scripts/voc_eval.py
+consumes."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config.settings import Settings
+from ..data.datasets import DetectionDataset, MetaDataset
+from ..ops.boxes import get_region_boxes, get_region_boxes_v2, nms
+from ..utils import get_image_size
+from .detector import MetaDetector, PlainDetector
+
+CONF_THRESH = 0.005
+NMS_THRESH = 0.45
+
+
+def results_prefix(weightfile: str, kind: str = "e") -> str:
+    """results/<backup-dir>/<kind><ckpt> (valid.py:16-18)."""
+    ckpt = os.path.basename(weightfile).split(".")[0]
+    backup = weightfile.split("/")[-2] if "/" in weightfile else "model"
+    return f"results/{backup}/{kind}{ckpt}"
+
+
+def _open_result_files(prefix: str, names, outfile: str):
+    os.makedirs(prefix, exist_ok=True)
+    return [open(f"{prefix}/{outfile}{n}.txt", "w") for n in names]
+
+
+def _write_boxes(fp, imgid: str, boxes, width: int, height: int):
+    for box in boxes:
+        x1 = (box[0] - box[2] / 2.0) * width
+        y1 = (box[1] - box[3] / 2.0) * height
+        x2 = (box[0] + box[2] / 2.0) * width
+        y2 = (box[1] + box[3] / 2.0) * height
+        det_conf = box[4]
+        for j in range((len(box) - 5) // 2):
+            cls_conf = box[5 + 2 * j]
+            prob = det_conf * cls_conf
+            fp.write(f"{imgid} {prob:f} {x1:f} {y1:f} {x2:f} {y2:f}\n")
+
+
+def run_valid(
+    data_options: dict,
+    cfgfile: str,
+    weightfile: str,
+    settings: Settings,
+    outfile: str = "comp4_det_test_",
+    batch_size: int = 2,
+) -> str:
+    """Plain YOLOv2 sweep; boxes routed to files by predicted class id."""
+    m = PlainDetector(cfgfile, weightfile)
+    prefix = results_prefix(weightfile, "e")
+    print("saving to: " + prefix)
+    names = settings.classes
+    n_cls = m.region.num_classes
+
+    ds = DetectionDataset(
+        data_options["valid"], settings,
+        shape=(m.width, m.height), shuffle=False, train=False,
+        filter_valid=False,
+    )
+    fps = _open_result_files(prefix, names, outfile)
+    line_id = -1
+    for imgs, _ in ds.batches(batch_size, drop_last=False):
+        output = m(imgs)
+        batch_boxes = get_region_boxes(
+            output, CONF_THRESH, n_cls, m.region.anchor_wh,
+            only_objectness=False, validation=True,
+        )
+        for boxes in batch_boxes:
+            line_id += 1
+            imgpath = ds.lines[line_id]
+            imgid = os.path.basename(imgpath).split(".")[0]
+            width, height = get_image_size(imgpath)
+            boxes = nms(boxes, NMS_THRESH)
+            # plain sweep routes every (conf, cls) pair to that class's file
+            for box in boxes:
+                for j in range((len(box) - 5) // 2):
+                    cls_id = int(box[6 + 2 * j])
+                    _write_boxes(
+                        fps[cls_id], imgid,
+                        [box[:5] + [box[5 + 2 * j], cls_id]],
+                        width, height,
+                    )
+    for fp in fps:
+        fp.close()
+    return prefix
+
+
+def ensemble_class_codes(m: MetaDetector, metaset: MetaDataset, batch_size: int = 64):
+    """Running-mean learnet codes over every support image per class
+    (valid_ensemble.py:88-100)."""
+    n_cls = len(metaset.classes)
+    sums = None
+    cnt = np.zeros(n_cls)
+    for metax, mask, clsids in metaset.batches(batch_size):
+        dws = m.class_codes(metax, mask)
+        if sums is None:
+            sums = [np.zeros((n_cls,) + d.shape[1:], np.float32) for d in dws]
+        for di, d in enumerate(dws):
+            np.add.at(sums[di], clsids, d)
+        np.add.at(cnt, clsids, 1)
+    codes = [s / np.maximum(cnt.reshape((-1,) + (1,) * (s.ndim - 1)), 1) for s in sums]
+    return codes, cnt
+
+
+def run_valid_ensemble(
+    data_options: dict,
+    darknetcfg,
+    learnetcfg,
+    weightfile: str,
+    settings: Settings,
+    outfile: str = "comp4_det_test_",
+    use_baserw: bool = False,
+    batch_size: int = 2,
+) -> str:
+    m = MetaDetector(darknetcfg, learnetcfg, weightfile,
+                     metain_type=settings.metain_type)
+    kind = "ene_" if use_baserw else "ene"
+    prefix = results_prefix(weightfile, kind)
+    print("saving to: " + prefix)
+
+    metaset = MetaDataset(
+        data_options["meta"], settings, train=False, ensemble=True,
+        with_ids=True,
+    )
+    n_cls = len(metaset.classes)
+    print("===> Generating dynamic weights...")
+    codes, _ = ensemble_class_codes(m, metaset)
+
+    if use_baserw:
+        import pickle
+
+        f = "data/rws/voc_novel{}_.pkl".format(0)
+        print(f"===> Loading from {f}...")
+        with open(f, "rb") as fh:
+            rws = pickle.load(fh)
+        tki = list(settings.real_base_ids)
+        for i in range(len(rws)):
+            # stored codes are torch (n, C, 1, 1); ours are (n, 1, 1, C)
+            rw = np.asarray(rws[i], np.float32)
+            if rw.ndim == 4 and rw.shape[1] != codes[i].shape[-1]:
+                rw = rw.transpose(0, 2, 3, 1)
+            codes[i][tki] = rw[tki]
+
+    return _meta_sweep(m, data_options, settings, prefix, outfile,
+                       [c for c in codes], n_cls, metaset.classes,
+                       batch_size)
+
+
+def run_valid_meta(
+    data_options: dict,
+    darknetcfg,
+    learnetcfg,
+    weightfile: str,
+    settings: Settings,
+    outfile: str = "comp4_det_test_",
+    batch_size: int = 2,
+) -> str:
+    """Per-batch support codes (valid_meta.py): each detection batch uses a
+    fresh support batch from the (train=False) meta stream."""
+    m = MetaDetector(darknetcfg, learnetcfg, weightfile,
+                     metain_type=settings.metain_type)
+    prefix = results_prefix(weightfile, "e")
+    print("saving to: " + prefix)
+
+    metaset = MetaDataset(data_options["meta"], settings, train=False,
+                          num_replicas=1)
+    n_cls = len(metaset.classes)
+    meta_iter = metaset.batches(n_cls)
+
+    ds = DetectionDataset(
+        data_options["valid"], settings, shape=(m.width, m.height),
+        shuffle=False, train=False, filter_valid=False,
+    )
+    fps = _open_result_files(prefix, metaset.classes, outfile)
+    line_id = -1
+    for imgs, _ in ds.batches(batch_size, drop_last=False):
+        metax, mask = next(meta_iter)
+        codes = m.class_codes(metax, mask)
+        output = m.detect(imgs, codes)
+        batch_boxes = get_region_boxes_v2(
+            output, n_cls, CONF_THRESH, m.region.num_classes,
+            m.region.anchor_wh, only_objectness=False, validation=True,
+        )
+        line_id = _write_meta_batch(
+            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id
+        )
+    for fp in fps:
+        fp.close()
+    return prefix
+
+
+def _write_meta_batch(fps, batch_boxes, ds, bs, n_cls, line_id):
+    for b in range(bs):
+        line_id += 1
+        imgpath = ds.lines[line_id]
+        imgid = os.path.basename(imgpath).split(".")[0]
+        width, height = get_image_size(imgpath)
+        for i in range(n_cls):
+            boxes = nms(batch_boxes[b * n_cls + i], NMS_THRESH)
+            _write_boxes(fps[i], imgid, boxes, width, height)
+    return line_id
+
+
+def _meta_sweep(m, data_options, settings, prefix, outfile, codes, n_cls,
+                class_names, batch_size):
+    ds = DetectionDataset(
+        data_options["valid"], settings, shape=(m.width, m.height),
+        shuffle=False, train=False, filter_valid=False,
+    )
+    fps = _open_result_files(prefix, class_names, outfile)
+    line_id = -1
+    for imgs, _ in ds.batches(batch_size, drop_last=False):
+        output = m.detect(imgs, codes)
+        batch_boxes = get_region_boxes_v2(
+            output, n_cls, CONF_THRESH, m.region.num_classes,
+            m.region.anchor_wh, only_objectness=False, validation=True,
+        )
+        line_id = _write_meta_batch(
+            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id
+        )
+    for fp in fps:
+        fp.close()
+    return prefix

@@ -72,10 +72,63 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0)
         for cname, lst in cls_lists.items():
             f.write(f"{cname} {lst}\n")
 
-    return {
+    paths = {
         "root": root,
         "train_list": train_list,
         "traindict": traindict,
         "img_paths": img_paths,
         "cls_lists": cls_lists,
     }
+    paths["devkit"] = make_devkit(root, img_paths, size)
+    return paths
+
+
+def make_devkit(root, img_paths, size):
+    """VOCdevkit-style annotations mirroring the labels/ files, so
+    scripts/voc_eval.py can score comp4 result files on the synth set."""
+    w, h = size
+    devkit = os.path.join(root, "VOCdevkit")
+    anno = os.path.join(devkit, "VOC2007", "Annotations")
+    main = os.path.join(devkit, "VOC2007", "ImageSets", "Main")
+    os.makedirs(anno, exist_ok=True)
+    os.makedirs(main, exist_ok=True)
+
+    ids = []
+    per_class_presence = {c: [] for c in VOC}
+    for path in img_paths:
+        imgid = os.path.basename(path).split(".")[0]
+        ids.append(imgid)
+        labfile = path.replace("images", "labels").replace(".png", ".txt")
+        objs = []
+        present = set()
+        if os.path.getsize(labfile):
+            rows = np.loadtxt(labfile).reshape(-1, 5)
+            for cls, cx, cy, bw, bh in rows:
+                name = VOC[int(cls)]
+                present.add(name)
+                x1 = max(1, int((cx - bw / 2) * w))
+                y1 = max(1, int((cy - bh / 2) * h))
+                x2 = min(w, int((cx + bw / 2) * w))
+                y2 = min(h, int((cy + bh / 2) * h))
+                objs.append(
+                    f"<object><name>{name}</name><pose>x</pose>"
+                    f"<truncated>0</truncated><difficult>0</difficult>"
+                    f"<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin>"
+                    f"<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox></object>"
+                )
+        with open(os.path.join(anno, imgid + ".xml"), "w") as f:
+            f.write(
+                f"<annotation><filename>{imgid}</filename>"
+                f"<size><width>{w}</width><height>{h}</height>"
+                f"<depth>3</depth></size>{''.join(objs)}</annotation>"
+            )
+        for c in VOC:
+            per_class_presence[c].append((imgid, 1 if c in present else -1))
+
+    with open(os.path.join(main, "test.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    for c, rows in per_class_presence.items():
+        with open(os.path.join(main, f"{c}_test.txt"), "w") as f:
+            for imgid, flag in rows:
+                f.write(f"{imgid} {flag}\n")
+    return devkit
