@@ -125,10 +125,11 @@ def make_devkit(root, img_paths, size):
         for c in VOC:
             per_class_presence[c].append((imgid, 1 if c in present else -1))
 
-    with open(os.path.join(main, "test.txt"), "w") as f:
-        f.write("\n".join(ids) + "\n")
-    for c, rows in per_class_presence.items():
-        with open(os.path.join(main, f"{c}_test.txt"), "w") as f:
-            for imgid, flag in rows:
-                f.write(f"{imgid} {flag}\n")
+    for split in ("test", "train", "val"):
+        with open(os.path.join(main, f"{split}.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+        for c, rows in per_class_presence.items():
+            with open(os.path.join(main, f"{c}_{split}.txt"), "w") as f:
+                for imgid, flag in rows:
+                    f.write(f"{imgid} {flag}\n")
     return devkit
