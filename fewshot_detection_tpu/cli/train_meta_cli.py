@@ -19,6 +19,7 @@ import numpy as np
 
 from ..data import MetaDataset, build_dataset
 from ..data.datasets import DetectionDataset
+from ..data.loader import prefetch
 from ..models import weights_io
 from ..models.meta import MetaSpec, init_meta_params
 from ..models.spec import build_spec
@@ -121,7 +122,7 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
             f"samples, lr {lr:f}"
         )
 
-        for imgs, labels in ds.batches(batch_size):
+        for imgs, labels in prefetch(ds.batches(batch_size)):
             metax, mask = next(meta_iter)
             lr = lr_schedule(processed_batches, learning_rate, steps, scales)
             processed_batches += 1

@@ -14,6 +14,7 @@ import time
 import numpy as np
 
 from ..data.datasets import DetectionDataset
+from ..data.loader import prefetch
 from ..data.lists import load_lines
 from ..models import weights_io
 from ..models.darknet import init_params
@@ -82,7 +83,7 @@ def main(datacfg, cfgfile, weightfile):
             f"epoch {epoch}/{max_epochs}, processed {epoch * nsamples} "
             f"samples, lr {lr:f}"
         )
-        for imgs, labels in ds.batches(batch_size):
+        for imgs, labels in prefetch(ds.batches(batch_size)):
             lr = lr_schedule(processed_batches, learning_rate, steps, scales)
             processed_batches += 1
             B = imgs.shape[0]

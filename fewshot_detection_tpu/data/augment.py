@@ -61,6 +61,76 @@ def random_distort_hsv(
     return distort_hsv(img, dhue, dsat, dexp)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentParams:
+    """One sampled augmentation: crop paddings, flip, HSV factors, and the
+    derived label-transform coefficients."""
+
+    pleft: int = 0
+    pright: int = 0
+    ptop: int = 0
+    pbot: int = 0
+    flip: int = 0
+    dhue: float = 0.0
+    dsat: float = 1.0
+    dexp: float = 1.0
+    dx: float = 0.0
+    dy: float = 0.0
+    sx: float = 1.0
+    sy: float = 1.0
+
+
+def sample_augment_params(
+    ow: int,
+    oh: int,
+    rng: _random.Random,
+    *,
+    jitter: float = 0.2,
+    hue: float = 0.1,
+    saturation: float = 1.5,
+    exposure: float = 1.5,
+) -> AugmentParams:
+    """Sample all augmentation randomness in the reference's draw order
+    (image.py:52-87 then 45-50) so PIL and native paths share one stream."""
+    dw = int(ow * jitter)
+    dh = int(oh * jitter)
+    pleft = rng.randint(-dw, dw)
+    pright = rng.randint(-dw, dw)
+    ptop = rng.randint(-dh, dh)
+    pbot = rng.randint(-dh, dh)
+    flip = rng.randint(1, 10000) % 2
+    dhue = rng.uniform(-hue, hue)
+    dsat = _rand_scale(rng, saturation)
+    dexp = _rand_scale(rng, exposure)
+
+    swidth = ow - pleft - pright
+    sheight = oh - ptop - pbot
+    sx = swidth / ow
+    sy = sheight / oh
+    return AugmentParams(
+        pleft, pright, ptop, pbot, flip, dhue, dsat, dexp,
+        (pleft / ow) / sx, (ptop / oh) / sy, sx, sy,
+    )
+
+
+def apply_augment_pil(img: Image.Image, shape: tuple[int, int],
+                      p: AugmentParams) -> Image.Image:
+    """PIL application of sampled params (the bit-parity path)."""
+    ow, oh = img.width, img.height
+    swidth = ow - p.pleft - p.pright
+    sheight = oh - p.ptop - p.pbot
+    # the reference crops to (swidth-1, sheight-1) — preserved quirk
+    cropped = img.crop((p.pleft, p.ptop, p.pleft + swidth - 1,
+                        p.ptop + sheight - 1))
+    sized = cropped.resize(shape)
+    if p.flip:
+        sized = sized.transpose(Image.FLIP_LEFT_RIGHT)
+    return distort_hsv(sized, p.dhue, p.dsat, p.dexp)
+
+
 def augment_image(
     img: Image.Image,
     shape: tuple[int, int],
@@ -78,30 +148,12 @@ def augment_image(
     if not augment:
         return img.resize(shape), 0, 0.0, 0.0, 1.0, 1.0
     rng = rng or _random
-    ow, oh = img.width, img.height
-    dw = int(ow * jitter)
-    dh = int(oh * jitter)
-    pleft = rng.randint(-dw, dw)
-    pright = rng.randint(-dw, dw)
-    ptop = rng.randint(-dh, dh)
-    pbot = rng.randint(-dh, dh)
-    flip = rng.randint(1, 10000) % 2
-
-    swidth = ow - pleft - pright
-    sheight = oh - ptop - pbot
-    sx = swidth / ow
-    sy = sheight / oh
-
-    # the reference crops to (swidth-1, sheight-1) — preserved quirk
-    cropped = img.crop((pleft, ptop, pleft + swidth - 1, ptop + sheight - 1))
-    dx = (pleft / ow) / sx
-    dy = (ptop / oh) / sy
-
-    sized = cropped.resize(shape)
-    if flip:
-        sized = sized.transpose(Image.FLIP_LEFT_RIGHT)
-    out = random_distort_hsv(sized, rng, hue, saturation, exposure)
-    return out, flip, dx, dy, sx, sy
+    p = sample_augment_params(
+        img.width, img.height, rng,
+        jitter=jitter, hue=hue, saturation=saturation, exposure=exposure,
+    )
+    out = apply_augment_pil(img, shape, p)
+    return out, p.flip, p.dx, p.dy, p.sx, p.sy
 
 
 def _transform_box(row, flip, dx, dy, sx, sy):

@@ -31,12 +31,27 @@ from .augment import (
     fill_truth_detection_meta,
     image_to_array,
     load_label_boxes,
+    sample_augment_params,
 )
 
 JITTER = 0.2
 HUE = 0.1
 SATURATION = 1.5
 EXPOSURE = 1.5
+
+
+def _native_pipe():
+    """Opt-in native C++ loader (FSD_NATIVE=1), None when unavailable."""
+    if os.environ.get("FSD_NATIVE", "0") != "1":
+        return None
+    try:
+        from ..native import NativeImagePipe, native_available
+
+        if native_available():
+            return NativeImagePipe()
+    except Exception:
+        pass
+    return None
 
 
 def get_labpath(imgpath: str) -> str:
@@ -133,6 +148,7 @@ class DetectionDataset:
         self.shape = shape or (settings.width, settings.height)
         self.seen = seen
         self.first_batch = False
+        self.native = _native_pipe()
 
     def __len__(self) -> int:
         return len(self.lines)
@@ -154,12 +170,16 @@ class DetectionDataset:
         self._maybe_rescale(index)
         labpath = get_labpath(imgpath)
 
-        img = Image.open(imgpath).convert("RGB")
-        img, flip, dx, dy, sx, sy = augment_image(
-            img, self.shape, self.rng,
-            jitter=JITTER, hue=HUE, saturation=SATURATION, exposure=EXPOSURE,
-            augment=self.train,
-        )
+        if self.native is not None:
+            arr, flip, dx, dy, sx, sy = self._load_native(imgpath)
+        else:
+            img = Image.open(imgpath).convert("RGB")
+            img, flip, dx, dy, sx, sy = augment_image(
+                img, self.shape, self.rng,
+                jitter=JITTER, hue=HUE, saturation=SATURATION,
+                exposure=EXPOSURE, augment=self.train,
+            )
+            arr = image_to_array(img)
         if s.metayolo:
             label = fill_truth_detection_meta(
                 labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy, s.base_ids
@@ -172,7 +192,27 @@ class DetectionDataset:
                 joint_keep=joint,
             )
         self.seen += 1
-        return image_to_array(img), label
+        return arr, label
+
+    def _load_native(self, imgpath: str):
+        """Decode+augment through the C++ pipeline; randomness drawn from
+        the same python stream as the PIL path."""
+        if not self.train:
+            arr = self.native.load_plain(imgpath, self.shape[0], self.shape[1])
+            return arr, 0, 0.0, 0.0, 1.0, 1.0
+        from PIL import Image as _I
+
+        with _I.open(imgpath) as im:
+            ow, oh = im.size
+        p = sample_augment_params(
+            ow, oh, self.rng, jitter=JITTER, hue=HUE,
+            saturation=SATURATION, exposure=EXPOSURE,
+        )
+        arr = self.native.load_augment(
+            imgpath, self.shape[0], self.shape[1],
+            p.pleft, p.pright, p.ptop, p.pbot, p.flip, p.dhue, p.dsat, p.dexp,
+        )
+        return arr, p.flip, p.dx, p.dy, p.sx, p.sy
 
     def batches(self, batch_size: int, drop_last: bool = True):
         """Yield stacked (images (B,H,W,3), labels) numpy batches. All images

@@ -1,0 +1,414 @@
+// Native image-loading pipeline for fewshot_detection_tpu.
+//
+// The reference framework's native layer was a CUDA BatchNorm extension
+// (layers/batchnorm in the original repo); on TPU that op lives in XLA.
+// The runtime component that still deserves native code is host-side IO:
+// this file implements JPEG/PNG decode, crop-jitter, filtered resize,
+// horizontal flip, PIL-point-table HSV distortion, binary mask synthesis,
+// and a pthread batch assembler, exported with a plain C ABI for ctypes.
+//
+// Augmentation semantics follow fewshot_detection_tpu/data/augment.py
+// (itself matching the original image.py): the crop uses the (swidth-1)
+// quirk, hue shifts wrap once, and saturation/exposure are 256-entry
+// uint8 lookup tables identical to PIL Image.point. Resize is a
+// PIL-style separable triangle (bilinear) filter; interpolation may differ
+// from PIL's default bicubic by a few uint8 counts, so the native path is
+// an opt-in fast path, not the bit-parity path.
+//
+// Build: see fewshot_detection_tpu/native/loader.py (g++ -O3 -shared).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <setjmp.h>
+
+namespace {
+
+struct ImageU8 {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // HWC, 3 channels
+};
+
+// ---------------------------------------------------------------- decode
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(FILE* fp, ImageU8* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(FILE* fp, ImageU8* out) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  png_set_expand(png);          // palettes / low bit depths -> 8-bit
+  png_set_strip_16(png);        // 16-bit -> 8-bit
+  png_set_strip_alpha(png);     // drop alpha
+  png_set_gray_to_rgb(png);     // gray -> RGB
+  png_read_update_info(png, info);
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = out->rgb.data() + size_t(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, ImageU8* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, fp);
+  rewind(fp);
+  bool ok = false;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(fp, out);
+  } else if (n >= 8 && !png_sig_cmp(magic, 0, 8)) {
+    ok = decode_png(fp, out);
+  }
+  fclose(fp);
+  return ok;
+}
+
+// ----------------------------------------------------------- crop / flip
+
+// Crop with virtual zero padding outside the source (PIL crop semantics).
+ImageU8 crop(const ImageU8& src, int left, int top, int right, int bottom) {
+  ImageU8 out;
+  out.w = std::max(right - left, 0);
+  out.h = std::max(bottom - top, 0);
+  out.rgb.assign(size_t(out.w) * out.h * 3, 0);
+  int y0 = std::max(top, 0), y1 = std::min(bottom, src.h);
+  int x0 = std::max(left, 0), x1 = std::min(right, src.w);
+  for (int y = y0; y < y1; ++y) {
+    const uint8_t* srow = src.rgb.data() + (size_t(y) * src.w + x0) * 3;
+    uint8_t* drow = out.rgb.data() + (size_t(y - top) * out.w + (x0 - left)) * 3;
+    std::memcpy(drow, srow, size_t(x1 - x0) * 3);
+  }
+  return out;
+}
+
+void flip_horizontal(ImageU8* img) {
+  for (int y = 0; y < img->h; ++y) {
+    uint8_t* row = img->rgb.data() + size_t(y) * img->w * 3;
+    for (int x = 0; x < img->w / 2; ++x) {
+      for (int c = 0; c < 3; ++c)
+        std::swap(row[x * 3 + c], row[(img->w - 1 - x) * 3 + c]);
+    }
+  }
+}
+
+// ------------------------------------------------------------------ resize
+
+// PIL-style separable filtered resize with the triangle (bilinear) kernel:
+// for downscale the kernel widens to cover the source footprint, giving
+// area-style averaging rather than naive sampling.
+struct FilterTaps {
+  std::vector<int> bounds;      // (xmin, size) per output pixel
+  std::vector<double> coeffs;   // ksize per output pixel
+  int ksize = 0;
+};
+
+FilterTaps make_taps(int in_size, int out_size) {
+  FilterTaps t;
+  double scale = double(in_size) / out_size;
+  double filterscale = std::max(scale, 1.0);
+  double support = 1.0 * filterscale;  // triangle support = 1
+  t.ksize = int(std::ceil(support)) * 2 + 1;
+  t.bounds.resize(size_t(out_size) * 2);
+  t.coeffs.assign(size_t(out_size) * t.ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = std::max(int(center - support + 0.5), 0);
+    int xmax = std::min(int(center + support + 0.5), in_size);
+    double* k = &t.coeffs[size_t(xx) * t.ksize];
+    double ww = 0.0;
+    for (int x = xmin; x < xmax; ++x) {
+      double arg = std::abs((x + 0.5 - center) / filterscale);
+      double w = arg < 1.0 ? 1.0 - arg : 0.0;
+      k[x - xmin] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax - xmin; ++x) k[x] /= ww;
+    t.bounds[xx * 2] = xmin;
+    t.bounds[xx * 2 + 1] = xmax - xmin;
+  }
+  return t;
+}
+
+ImageU8 resize_bilinear(const ImageU8& src, int ow, int oh) {
+  if (src.w == ow && src.h == oh) return src;
+  FilterTaps hx = make_taps(std::max(src.w, 1), ow);
+  FilterTaps vy = make_taps(std::max(src.h, 1), oh);
+
+  // horizontal pass into float
+  std::vector<float> tmp(size_t(src.h) * ow * 3);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* srow = src.rgb.data() + size_t(y) * src.w * 3;
+    float* drow = tmp.data() + size_t(y) * ow * 3;
+    for (int xx = 0; xx < ow; ++xx) {
+      int xmin = hx.bounds[xx * 2], sz = hx.bounds[xx * 2 + 1];
+      const double* k = &hx.coeffs[size_t(xx) * hx.ksize];
+      double acc[3] = {0, 0, 0};
+      for (int i = 0; i < sz; ++i) {
+        const uint8_t* p = srow + size_t(xmin + i) * 3;
+        acc[0] += k[i] * p[0];
+        acc[1] += k[i] * p[1];
+        acc[2] += k[i] * p[2];
+      }
+      drow[xx * 3] = float(acc[0]);
+      drow[xx * 3 + 1] = float(acc[1]);
+      drow[xx * 3 + 2] = float(acc[2]);
+    }
+  }
+  // vertical pass with rounding back to uint8
+  ImageU8 out;
+  out.w = ow;
+  out.h = oh;
+  out.rgb.resize(size_t(ow) * oh * 3);
+  for (int yy = 0; yy < oh; ++yy) {
+    int ymin = vy.bounds[yy * 2], sz = vy.bounds[yy * 2 + 1];
+    const double* k = &vy.coeffs[size_t(yy) * vy.ksize];
+    uint8_t* drow = out.rgb.data() + size_t(yy) * ow * 3;
+    for (int xx = 0; xx < ow * 3; ++xx) {
+      double acc = 0;
+      for (int i = 0; i < sz; ++i)
+        acc += k[i] * tmp[size_t(ymin + i) * ow * 3 + xx];
+      drow[xx] = uint8_t(std::clamp(int(std::lround(acc)), 0, 255));
+    }
+  }
+  return out;
+}
+
+// ----------------------------------------------------------- HSV distort
+
+// PIL Image.point semantics on an L band: the lambda is evaluated on
+// 0..255 and the (float) results are cast to uint8 via C truncation after
+// clamping into [0, 255].
+inline uint8_t lut_clamp(double v) {
+  if (v < 0) v = 0;
+  if (v > 255) v = 255;
+  return uint8_t(v);
+}
+
+void rgb2hsv_u8(uint8_t r, uint8_t g, uint8_t b, uint8_t* h, uint8_t* s,
+                uint8_t* v) {
+  // PIL's convert("HSV") math (libImaging ImagingConvert rgb2hsv)
+  uint8_t maxc = std::max({r, g, b});
+  uint8_t minc = std::min({r, g, b});
+  *v = maxc;
+  if (minc == maxc) {
+    *h = 0;
+    *s = 0;
+    return;
+  }
+  double delta = maxc - minc;
+  *s = uint8_t(255.0 * delta / maxc);
+  double hh;
+  if (r == maxc)
+    hh = (double(g) - b) / delta;
+  else if (g == maxc)
+    hh = 2.0 + (double(b) - r) / delta;
+  else
+    hh = 4.0 + (double(r) - g) / delta;
+  hh = hh / 6.0;
+  if (hh < 0) hh += 1.0;
+  *h = uint8_t(hh * 255.0);
+}
+
+void hsv2rgb_u8(uint8_t h, uint8_t s, uint8_t v, uint8_t* r, uint8_t* g,
+                uint8_t* b) {
+  if (s == 0) {
+    *r = *g = *b = v;
+    return;
+  }
+  double hh = double(h) / 255.0 * 6.0;
+  int i = int(hh) % 6;
+  double f = hh - int(hh);
+  uint8_t p = uint8_t(v * (1.0 - s / 255.0));
+  uint8_t q = uint8_t(v * (1.0 - s / 255.0 * f));
+  uint8_t t = uint8_t(v * (1.0 - s / 255.0 * (1.0 - f)));
+  switch (i) {
+    case 0: *r = v; *g = t; *b = p; break;
+    case 1: *r = q; *g = v; *b = p; break;
+    case 2: *r = p; *g = v; *b = t; break;
+    case 3: *r = p; *g = q; *b = v; break;
+    case 4: *r = t; *g = p; *b = v; break;
+    default: *r = v; *g = p; *b = q; break;
+  }
+}
+
+void distort_hsv(ImageU8* img, float dhue, float dsat, float dexp) {
+  uint8_t sat_lut[256], val_lut[256], hue_lut[256];
+  double dh = double(dhue) * 255.0;
+  for (int i = 0; i < 256; ++i) {
+    sat_lut[i] = lut_clamp(i * double(dsat));
+    val_lut[i] = lut_clamp(i * double(dexp));
+    double x = i + dh;  // single wraparound, like the reference change_hue
+    if (x > 255) x -= 255;
+    if (x < 0) x += 255;
+    hue_lut[i] = lut_clamp(x);
+  }
+  size_t n = size_t(img->w) * img->h;
+  for (size_t i = 0; i < n; ++i) {
+    uint8_t* p = img->rgb.data() + i * 3;
+    uint8_t h, s, v;
+    rgb2hsv_u8(p[0], p[1], p[2], &h, &s, &v);
+    hsv2rgb_u8(hue_lut[h], sat_lut[s], val_lut[v], p, p + 1, p + 2);
+  }
+}
+
+void to_float(const ImageU8& img, float* out) {
+  size_t n = size_t(img.w) * img.h * 3;
+  const float inv = 1.0f / 255.0f;
+  for (size_t i = 0; i < n; ++i) out[i] = img.rgb[i] * inv;
+}
+
+int load_one(const char* path, int out_w, int out_h, int pleft, int pright,
+             int ptop, int pbot, int flip, float dhue, float dsat, float dexp,
+             int augment, float* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return -1;
+  if (augment) {
+    int swidth = img.w - pleft - pright;
+    int sheight = img.h - ptop - pbot;
+    // (swidth-1) crop quirk preserved from the reference pipeline
+    ImageU8 c = crop(img, pleft, ptop, pleft + swidth - 1, ptop + sheight - 1);
+    ImageU8 r = resize_bilinear(c, out_w, out_h);
+    if (flip) flip_horizontal(&r);
+    distort_hsv(&r, dhue, dsat, dexp);
+    to_float(r, out);
+  } else {
+    ImageU8 r = resize_bilinear(img, out_w, out_h);
+    to_float(r, out);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int fsd_image_size(const char* path, int* w, int* h) {
+  ImageU8 img;  // full decode; callers needing headers only use PIL
+  if (!decode_file(path, &img)) return -1;
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+
+int fsd_decode(const char* path, uint8_t* out, int max_bytes, int* w, int* h) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return -1;
+  if (int(img.rgb.size()) > max_bytes) return -2;
+  std::memcpy(out, img.rgb.data(), img.rgb.size());
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+
+// One augmented image -> float32 HWC [0,1] buffer of out_h*out_w*3.
+int fsd_load_augment(const char* path, int out_w, int out_h, int pleft,
+                     int pright, int ptop, int pbot, int flip, float dhue,
+                     float dsat, float dexp, float* out) {
+  return load_one(path, out_w, out_h, pleft, pright, ptop, pbot, flip, dhue,
+                  dsat, dexp, 1, out);
+}
+
+int fsd_load_plain(const char* path, int out_w, int out_h, float* out) {
+  return load_one(path, out_w, out_h, 0, 0, 0, 0, 0, 0, 0, 0, 0, out);
+}
+
+// Threaded batch assembly. paths: n C strings; params: n*8 floats laid out
+// [pleft,pright,ptop,pbot,flip,dhue,dsat,dexp]; out: (n, out_h, out_w, 3).
+// augment=0 ignores params. Returns the number of failed images.
+int fsd_load_batch(const char** paths, int n, int out_w, int out_h,
+                   const float* params, int augment, float* out,
+                   int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  n_threads = std::min(n_threads, n);
+  std::vector<int> fails(n_threads, 0);
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      float* dst = out + size_t(i) * out_w * out_h * 3;
+      int rc;
+      if (augment) {
+        const float* p = params + size_t(i) * 8;
+        rc = load_one(paths[i], out_w, out_h, int(p[0]), int(p[1]), int(p[2]),
+                      int(p[3]), int(p[4]), p[5], p[6], p[7], 1, dst);
+      } else {
+        rc = load_one(paths[i], out_w, out_h, 0, 0, 0, 0, 0, 0, 0, 0, 0, dst);
+      }
+      if (rc != 0) {
+        std::memset(dst, 0, size_t(out_w) * out_h * 3 * sizeof(float));
+        fails[tid]++;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+    for (auto& t : ts) t.join();
+  }
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+}  // extern "C"
