@@ -1,0 +1,67 @@
+"""Native checkpointing (Orbax) alongside the darknet .weights codec.
+
+The reference's only persistence was the .weights format whose header[3]
+`seen` counter restored the LR-schedule position and epoch
+(darknet_meta.py:104-105, train_meta.py:94-99). That codec is kept for
+interop (models/weights_io.py); this module adds full training-state
+checkpoints — params, SGD momentum, seen/processed counters — via Orbax,
+so a resumed run continues bit-where-it-left-off rather than re-deriving
+schedule state from a sample counter."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(
+    directory: str,
+    step: int,
+    params: Any,
+    momentum: Any,
+    seen: int,
+    processed_batches: int,
+) -> str:
+    """Write one checkpoint under <directory>/ckpt_<step>."""
+    path = os.path.abspath(os.path.join(directory, f"ckpt_{step:08d}"))
+    state = {
+        "params": params,
+        "momentum": momentum,
+        "counters": {
+            "seen": np.asarray(seen, np.int64),
+            "processed_batches": np.asarray(processed_batches, np.int64),
+            "step": np.asarray(step, np.int64),
+        },
+    }
+    _checkpointer().save(path, state, force=True)
+    return path
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    if not os.path.isdir(directory):
+        return None
+    ckpts = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
+    return os.path.join(directory, ckpts[-1]) if ckpts else None
+
+
+def restore_train_state(path: str, template: Any | None = None) -> dict:
+    """Restore {params, momentum, counters}. `template` (a matching pytree
+    of arrays) restores device placement / dtypes when provided."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    if template is not None:
+        restored = ckpt.restore(os.path.abspath(path), item=template)
+    else:
+        restored = ckpt.restore(os.path.abspath(path))
+    c = restored["counters"]
+    restored["counters"] = {k: int(np.asarray(v)) for k, v in c.items()}
+    return restored
