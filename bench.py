@@ -40,7 +40,8 @@ def main():
         build_spec(parse_cfg("cfg/reweighting_net.cfg")),
     )
     params = init_meta_params(spec, 0)
-    trainer = MetaTrainer(spec, momentum=0.9, weight_decay=0.0005, donate=False)
+    # donate params/momentum: avoids two full-model copies per step
+    trainer = MetaTrainer(spec, momentum=0.9, weight_decay=0.0005, donate=True)
     mom = init_momentum(params)
 
     rng = np.random.RandomState(0)
