@@ -7,9 +7,9 @@ everything stays on device with static shapes:
 
   * silence-mask: one broadcast IoU (nB, A*H*W, 50) + max-reduce
   * best-anchor assignment: argmax over anchor IoUs per gt slot
-  * target planes: a 50-step lax.fori_loop of batched scatters, preserving
-    the reference's LAST-WRITE-WINS ordering for gts that land in the same
-    anchor cell (mode="drop" turns invalid slots into no-op writes)
+  * target planes: ONE batched scatter per plane after an up-front
+    duplicate-cell deduplication that preserves the reference's
+    LAST-WRITE-WINS ordering (mode="drop" turns padded slots into no-ops)
   * neg_filter (region_loss.py:15-34) becomes a per-copy 0/1 `keep` weight
     sampled on host (sample_neg_keep) so shapes stay static; positives are
     always kept, so loss values match the reference's row-dropping exactly
@@ -158,12 +158,25 @@ def build_targets(
     nGT = valid.sum()
     nCorrect = (valid & (assigned_iou > 0.5)).sum()
 
-    # invalid slots scatter out of bounds -> dropped (NOTE: must be a
-    # positive OOB sentinel — negative indices WRAP under jax indexing)
-    gj_s = jnp.where(valid, gj, H)
-    gi_s = jnp.where(valid, gi, W)
-    bb = jnp.arange(nB)
+    # The reference assigns gts sequentially, so when two gts land on the
+    # same (anchor, cell) the LAST write wins. Instead of 50 sequential
+    # scatters (50 x 9 tiny kernels), deduplicate up front — mask any slot
+    # that a LATER valid slot overwrites — then do ONE batched scatter per
+    # plane; with unique indices the scatter order is irrelevant.
+    n_slots = target.shape[1]
+    lin = (best_n * H + gj) * W + gi  # (nB, 50) linearized cell index
+    eq = lin[:, :, None] == lin[:, None, :]
+    later = jnp.triu(jnp.ones((n_slots, n_slots), bool), k=1)[None]
+    overwritten = jnp.any(eq & later & valid[:, None, :], axis=2)
+    keep = valid & ~overwritten
 
+    # dropped slots scatter out of bounds (NOTE: must be a positive OOB
+    # sentinel — negative indices WRAP under jax indexing)
+    gj_s = jnp.where(keep, gj, H)
+    gi_s = jnp.where(keep, gi, W)
+    bb = jnp.broadcast_to(jnp.arange(nB)[:, None], (nB, n_slots))
+
+    idx = (bb, best_n, gj_s, gi_s)
     planes = (coord_mask, cls_mask, conf_mask, tx, ty, tw, th, tconf, tcls)
     vals_seq = (
         jnp.ones_like(val_tx),  # coord_mask
@@ -176,14 +189,9 @@ def build_targets(
         assigned_iou,
         t[:, :, 0],  # tcls
     )
-
-    def body(k, planes):
-        idx = (bb, best_n[:, k], gj_s[:, k], gi_s[:, k])
-        return tuple(
-            p.at[idx].set(v[:, k], mode="drop") for p, v in zip(planes, vals_seq)
-        )
-
-    planes = jax.lax.fori_loop(0, target.shape[1], body, planes)
+    planes = tuple(
+        p.at[idx].set(v, mode="drop") for p, v in zip(planes, vals_seq)
+    )
     coord_mask, cls_mask, conf_mask, tx, ty, tw, th, tconf, tcls = planes
 
     return {
