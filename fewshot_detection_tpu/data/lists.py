@@ -67,8 +67,10 @@ def load_lines(root: str, settings: Settings, checkvalid: bool = True) -> list[s
 
 
 def parse_dict_file(path: str) -> list[tuple[str, str]]:
-    """`class listfile` pairs; 4-token rows are classes/paths with one space
-    (dataset.py:316-324 handles e.g. COCO two-word class names)."""
+    """`class listfile` pairs. COCO class names (and the reference's list
+    paths) may contain spaces (dataset.py:316-324 handled exactly 2- and
+    4-token rows); here the path is taken to start at the first token
+    containing a '/', which covers both layouts and one-word paths too."""
     pairs = []
     with open(path, "r") as f:
         for line in f:
@@ -77,10 +79,12 @@ def parse_dict_file(path: str) -> list[tuple[str, str]]:
                 continue
             if len(toks) == 2:
                 pairs.append((toks[0], toks[1]))
-            elif len(toks) == 4:
-                pairs.append((toks[0] + " " + toks[1], toks[2] + " " + toks[3]))
-            else:
-                raise ValueError(f"unrecognized dict row: {toks}")
+                continue
+            split_at = next(
+                (i for i, t in enumerate(toks) if i > 0 and "/" in t),
+                len(toks) - 1,
+            )
+            pairs.append((" ".join(toks[:split_at]), " ".join(toks[split_at:])))
     return pairs
 
 
