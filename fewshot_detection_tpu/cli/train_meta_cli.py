@@ -12,6 +12,7 @@ is one jitted program over a replica-group mesh (train.trainer)."""
 from __future__ import annotations
 
 import math
+import os
 import random
 import time
 
@@ -26,6 +27,7 @@ from ..models.spec import build_spec
 from ..ops.region_loss import sample_neg_keep
 from ..train import MetaTrainer, init_momentum, lr_schedule, neg_ratio_lr_factor
 from ..utils import format_loss_line, log
+from ..utils.profiling import StepTimer, trace
 from .common import ensure_backup_dir, replica_layout, resolve_configs
 
 
@@ -104,8 +106,10 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
     rng = random.Random(int(time.time()))
     nprng = np.random.RandomState(rng.randrange(2**31))
 
+    orbax_dir = os.environ.get("FSD_ORBAX_DIR")
+
     for epoch in range(init_epoch, max_epochs):
-        t0 = time.time()
+        timer = StepTimer()
         ds = DetectionDataset(
             trainlist, settings, train=True, seen=seen, shuffle=False,
             rng=rng, filter_valid=False,
@@ -122,27 +126,33 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
             f"samples, lr {lr:f}"
         )
 
-        for imgs, labels in prefetch(ds.batches(batch_size)):
-            metax, mask = next(meta_iter)
-            lr = lr_schedule(processed_batches, learning_rate, steps, scales)
-            processed_batches += 1
-            batch = make_episode_batch(
-                imgs, labels, metax, mask, n_groups, settings.neg_ratio, nprng
-            )
-            if mesh is not None:
-                from ..parallel import shard_batch
+        with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
+            it = prefetch(ds.batches(batch_size))
+            while True:
+                with timer.phase("data"):
+                    nxt = next(it, None)
+                    if nxt is None:
+                        break
+                    imgs, labels = nxt
+                    metax, mask = next(meta_iter)
+                lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+                processed_batches += 1
+                with timer.phase("step"):
+                    batch = make_episode_batch(
+                        imgs, labels, metax, mask, n_groups,
+                        settings.neg_ratio, nprng,
+                    )
+                    if mesh is not None:
+                        from ..parallel import shard_batch
 
-                batch = shard_batch(mesh, batch)
-            seen += imgs.shape[0]
-            params, mom, metrics = trainer.step(
-                params, mom, batch, seen=seen, lr=lr / batch_size
-            )
-            print(format_loss_line(seen, metrics))
+                        batch = shard_batch(mesh, batch)
+                    seen += imgs.shape[0]
+                    params, mom, metrics = trainer.step(
+                        params, mom, batch, seen=seen, lr=lr / batch_size
+                    )
+                print(format_loss_line(seen, metrics))
 
-        log(
-            "training with %f samples/s"
-            % (nsamples / max(time.time() - t0, 1e-9))
-        )
+        log(timer.summary(images=nsamples))
 
         if (epoch + 1) % settings.save_interval == 0:
             out = f"{backupdir}/{epoch + 1:06d}.weights"
@@ -152,5 +162,13 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                 [params["darknet"], params["learnet"]],
                 seen=(epoch + 1) * nsamples,
             )
+            if orbax_dir:
+                from ..train.checkpoint import save_train_state
+
+                save_train_state(
+                    orbax_dir, epoch + 1, params, mom,
+                    seen=(epoch + 1) * nsamples,
+                    processed_batches=processed_batches,
+                )
 
     return params
