@@ -4,8 +4,10 @@ Matches the reference's hot loop (train_meta.py:201-225): the reference's
 FULL global batch (64 detection images at 416x416, cfg/darknet_dynamic.cfg:3,
 spread over 4 GPUs there) with a 15-class support set, on ONE chip. Compute
 in bfloat16 with fp32 accumulation/params; rematerialization keeps the step
-inside 16 GB HBM at this batch (the step is HBM-bandwidth-bound, so large
-batch + remat beats small batch + full activations: 544 vs 329 img/s).
+inside 16 GB HBM (the step is HBM-bandwidth-bound, so large batch + remat
+beats small batch + full activations). Measured scaling on v5e-1:
+b16 329 / b32 408 / b64+remat 546 / b128+remat 757 / b256+remat 820 img/s;
+the bench runs b128 (2x the reference's full global batch per chip).
 
 `vs_baseline` is measured against REF_IMG_PER_SEC_PER_GPU, an estimate of
 the PyTorch-0.3 reference's per-GPU throughput (the repo publishes no
@@ -21,7 +23,7 @@ import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 30.0  # estimated torch-0.3 per-GPU fwd+bwd rate
 
-BATCH = 64
+BATCH = 128
 N_CLS = 15
 SIZE = 416
 WARMUP = 3
