@@ -70,8 +70,15 @@ def apply_conv_layer(
     x: jax.Array,
     train: bool,
 ) -> tuple[jax.Array, dict | None]:
-    """conv [+ BN] [+ activation]; returns (y, new_bn_stats|None)."""
+    """conv [+ BN] [+ activation]; returns (y, new_bn_stats|None).
+
+    Conv outputs are tagged "conv_out" so rematerialization policies can
+    save exactly them and recompute the cheap BN/activation epilogues
+    (see train.trainer REMAT_POLICY)."""
     y = conv2d(x, p["w"], layer.stride, layer.pad, layer.groups)
+    from jax.ad_checkpoint import checkpoint_name
+
+    y = checkpoint_name(y, "conv_out")
     new_stats = None
     if layer.batch_normalize:
         if train:

@@ -110,9 +110,13 @@ class MetaTrainer:
         n_cls = metax.shape[0]
         fwd = self._forward
         if self.remat:
-            fwd = jax.checkpoint(
-                fwd, policy=jax.checkpoint_policies.dots_saveable
+            # save conv outputs (tagged in apply_conv_layer) and matmul
+            # results; recompute BN/activation epilogues in the backward
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.save_only_these_names("conv_out"),
+                jax.checkpoint_policies.dots_saveable,
             )
+            fwd = jax.checkpoint(fwd, policy=policy)
         y, aux = fwd(params, x, metax, mask)
         loss, metrics = region_loss_v2(
             y, target, keep, seen, self.region, n_cls
