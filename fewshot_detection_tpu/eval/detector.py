@@ -21,9 +21,17 @@ from ..models.weights_io import WeightsHeader, load_weights
 
 
 class PlainDetector:
-    """Static YOLOv2 network (darknet.Darknet equivalent)."""
+    """Static YOLOv2 network (darknet.Darknet equivalent).
 
-    def __init__(self, cfgfile: str, weightfile: str | None = None):
+    compute_dtype=jnp.bfloat16 runs the conv stack in bf16 (box decode is
+    insensitive to the last-bit differences; fp32 is the parity default)."""
+
+    def __init__(
+        self,
+        cfgfile: str,
+        weightfile: str | None = None,
+        compute_dtype=jnp.float32,
+    ):
         self.spec = build_spec(parse_cfg(cfgfile))
         params = init_params(self.spec, 0)
         self.header = WeightsHeader()
@@ -35,13 +43,19 @@ class PlainDetector:
         self.region = self.spec.region
         self.width = self.spec.width
         self.height = self.spec.height
+        self.compute_dtype = compute_dtype
         self._fwd = jax.jit(
-            lambda p, x: apply_network(self.fspec, p, x, train=False)[0]
+            lambda p, x: apply_network(
+                self.fspec, p, x.astype(compute_dtype), train=False
+            )[0].astype(jnp.float32)
         )
 
-    def __call__(self, images: np.ndarray) -> np.ndarray:
-        """images: (B, H, W, 3) float32 [0,1] -> raw head output."""
-        return np.asarray(self._fwd(self.params, jnp.asarray(images)))
+    def __call__(self, images: np.ndarray) -> jax.Array:
+        """images: (B, H, W, 3) float32 [0,1] -> raw head output.
+
+        Stays ON DEVICE: the box decode (ops.boxes) consumes it in place,
+        so only the small decoded arrays ever cross to the host."""
+        return self._fwd(self.params, jnp.asarray(images))
 
 
 class MetaDetector:
@@ -54,6 +68,7 @@ class MetaDetector:
         learnetcfg: str | list,
         weightfile: str | None = None,
         metain_type: int = 2,
+        compute_dtype=jnp.float32,
     ):
         dblocks = darknetcfg if isinstance(darknetcfg, list) else parse_cfg(darknetcfg)
         lblocks = learnetcfg if isinstance(learnetcfg, list) else parse_cfg(learnetcfg)
@@ -72,26 +87,36 @@ class MetaDetector:
         self.region = self.spec.region
         self.width = self.spec.darknet.width
         self.height = self.spec.darknet.height
+        self.compute_dtype = compute_dtype
 
         self._codes = jax.jit(
-            lambda p, mx, mk: meta_mod.meta_forward(
-                self.spec, p, mx, mk, metain_type=self.metain_type, train=False
-            )[0]
+            lambda p, mx, mk: [
+                d.astype(jnp.float32)
+                for d in meta_mod.meta_forward(
+                    self.spec, p, mx.astype(compute_dtype),
+                    mk.astype(compute_dtype),
+                    metain_type=self.metain_type, train=False,
+                )[0]
+            ]
         )
         self._detect = jax.jit(
             lambda p, x, dw: meta_mod.detect_forward(
-                self.spec, p, x, list(dw), train=False, fuse=True
-            )[0]
+                self.spec, p, x.astype(compute_dtype),
+                [d.astype(compute_dtype) for d in dw],
+                train=False, fuse=True,
+            )[0].astype(jnp.float32)
         )
 
     def class_codes(self, metax: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
-        """Support batch -> list of per-class code tensors (N, 1, 1, C)."""
+        """Support batch -> list of per-class code tensors (N, 1, 1, C).
+        Returned as host arrays (they get averaged/spliced on host)."""
         out = self._codes(self.params, jnp.asarray(metax), jnp.asarray(mask))
         return [np.asarray(d) for d in out]
 
-    def detect(self, images: np.ndarray, dynamic_weights) -> np.ndarray:
+    def detect(self, images: np.ndarray, dynamic_weights) -> jax.Array:
+        """Raw head output, left on device for the box decode."""
         dw = tuple(jnp.asarray(d) for d in dynamic_weights)
-        return np.asarray(self._detect(self.params, jnp.asarray(images), dw))
+        return self._detect(self.params, jnp.asarray(images), dw)
 
-    def __call__(self, images, metax, mask) -> np.ndarray:
+    def __call__(self, images, metax, mask) -> jax.Array:
         return self.detect(images, self.class_codes(metax, mask))

@@ -18,6 +18,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.layers import (
     batchnorm_apply,
@@ -76,8 +77,6 @@ def apply_conv_layer(
     save exactly them and recompute the cheap BN/activation epilogues
     (see train.trainer REMAT_POLICY)."""
     y = conv2d(x, p["w"], layer.stride, layer.pad, layer.groups)
-    from jax.ad_checkpoint import checkpoint_name
-
     y = checkpoint_name(y, "conv_out")
     new_stats = None
     if layer.batch_normalize:

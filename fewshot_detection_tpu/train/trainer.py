@@ -148,6 +148,28 @@ class MetaTrainer:
             jnp.asarray(seen, jnp.int32), jnp.asarray(lr, jnp.float32),
         )
 
+    def warm(self, params, mom, n_cls: int, batch_size: int, sizes=None,
+             n_groups: int = 1, dtype=jnp.float32):
+        """Pre-compile one executable per multi-scale bucket (SURVEY.md §7:
+        'warm all buckets at startup') so scale switches never stall the
+        training loop. Runs a dummy step per size; params/mom unchanged
+        (outputs discarded)."""
+        sizes = sizes or tuple(range(320, 609, 32))
+        b = batch_size // n_groups
+        for s in sizes:
+            batch = {
+                "x": jnp.zeros((n_groups, b, s, s, 3), dtype),
+                "metax": jnp.zeros((n_groups, n_cls, 416, 416, 3), dtype),
+                "mask": jnp.zeros((n_groups, n_cls, 416, 416, 1), dtype),
+                "target": jnp.zeros((n_groups, b, n_cls, 50, 5), jnp.float32),
+                "keep": jnp.ones((n_groups, b * n_cls), jnp.float32),
+            }
+            self._step.lower(
+                params, mom, batch["x"], batch["metax"], batch["mask"],
+                batch["target"], batch["keep"],
+                jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
+            ).compile()
+
 
 class PlainTrainer:
     """Baseline YOLOv2 training step (train.py:126-225).
