@@ -64,10 +64,9 @@ def test_detector(
         all_boxes = get_region_boxes(
             output, CONF_THRESH, region.num_classes, region.anchor_wh
         )
-        # meta output has B*n_cls rows; reference test() used the plain
-        # decode over whatever batch it got — keep per-image grouping simple
-        flat_targets = target.reshape(target.shape[0], -1, 5) \
-            if not settings.metayolo else target.reshape(target.shape[0], -1, 5)
+        # labels flatten to (B, n_boxes, 5) for both plain (50) and meta
+        # (n_cls*50) layouts; meta outputs have B*n_cls rows (see below)
+        flat_targets = target.reshape(target.shape[0], -1, 5)
         for i in range(len(all_boxes) if meta_batches is None else imgs.shape[0]):
             boxes = nms(all_boxes[i], NMS_THRESH)
             truths = flat_targets[i % flat_targets.shape[0]]

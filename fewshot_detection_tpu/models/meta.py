@@ -269,8 +269,6 @@ def detect_forward(
                     x = _activate(x, layer.activation)
                 dyn_cnt += 1
             else:
-                if x.shape[0] != spec_batch(outputs, layer, x):
-                    pass  # batch already expanded; static conv applies as-is
                 x, stats = apply_conv_layer(layer, dparams[layer.index], x, train)
                 if stats is not None:
                     bn_updates[layer.index] = stats
@@ -310,10 +308,6 @@ def detect_forward(
         outputs[layer.index] = x
 
     return x, {"bn_updates": bn_updates}
-
-
-def spec_batch(outputs, layer, x):  # pragma: no cover - trivial helper
-    return x.shape[0]
 
 
 def forward(
