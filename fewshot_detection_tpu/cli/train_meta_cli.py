@@ -97,6 +97,26 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
     )
     mom = init_momentum(params)
 
+    # Full-state resume (params + momentum + schedule counters) when an
+    # Orbax snapshot exists — richer than the .weights seen-counter restore.
+    orbax_resume = os.environ.get("FSD_ORBAX_DIR")
+    if orbax_resume:
+        from ..train.checkpoint import latest_checkpoint, restore_train_state
+
+        latest = latest_checkpoint(orbax_resume)
+        if latest:
+            log(f"resuming train state from {latest}")
+            state = restore_train_state(
+                latest, {"params": params, "momentum": mom,
+                         "counters": {"seen": 0, "processed_batches": 0,
+                                      "step": 0}},
+            )
+            params = state["params"]
+            mom = state["momentum"]
+            seen = state["counters"]["seen"]
+            processed_batches = state["counters"]["processed_batches"]
+            init_epoch = state["counters"]["step"]
+
     mesh = None
     if n_groups > 1:
         from ..parallel import make_mesh, shard_batch

@@ -54,6 +54,18 @@ def _native_pipe():
     return None
 
 
+def topath(p: str) -> str:
+    """Dataset-root remapping hook (the reference hardcoded a cluster
+    rewrite, dataset.py:17-18). Configure with FSD_PATH_MAP="old=new[,o=n]".
+    """
+    spec = os.environ.get("FSD_PATH_MAP", "")
+    for rule in spec.split(","):
+        if "=" in rule:
+            old, new = rule.split("=", 1)
+            p = p.replace(old, new)
+    return p
+
+
 def get_labpath(imgpath: str) -> str:
     return (
         imgpath.replace("images", "labels")
@@ -137,7 +149,7 @@ class DetectionDataset:
                     lines = f.readlines()
             if filter_valid is None:
                 filter_valid = train
-        self.lines = [l.rstrip() for l in lines if l.strip()]
+        self.lines = [topath(l.rstrip()) for l in lines if l.strip()]
         if filter_valid:
             self.lines = [
                 l for l in self.lines if image_is_valid(l, settings.base_ids)
@@ -270,8 +282,8 @@ class MetaDataset:
         self.metalines: list[list[str]] = []
         metainds: list[list[tuple[int, int]]] = []
         for i, cls in enumerate(self.classes):
-            with open(files[cls]) as f:
-                lines = [l.rstrip() for l in f if l.strip()]
+            with open(topath(files[cls])) as f:
+                lines = [topath(l.rstrip()) for l in f if l.strip()]
             self.metalines.append(lines)
             if ensemble:
                 metainds.append([(i, j) for j in range(len(lines))])

@@ -19,7 +19,7 @@ import random as _random
 import numpy as np
 
 from ..config.settings import Settings
-from .datasets import get_labpath
+from .datasets import get_labpath, topath
 
 
 def is_dict(filename: str) -> bool:
@@ -55,12 +55,13 @@ def load_lines(root: str, settings: Settings, checkvalid: bool = True) -> list[s
         universe = settings.base_classes if checkvalid else settings.classes
         files = [p[-1] for p in pairs if p[0] in universe]
         for fname in files:
-            with open(fname, "r") as f:
+            with open(topath(fname), "r") as f:
                 lines.extend(f.readlines())
         lines = sorted(set(lines))
     else:
         with open(root, "r") as f:
             lines = f.readlines()
+    lines = [topath(l) for l in lines]
     if checkvalid:
         lines = [l for l in lines if image_is_valid(l, settings.base_ids)]
     return lines
