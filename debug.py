@@ -30,10 +30,9 @@ def main(cfgfile, weightfile, imgpath):
     if weightfile and os.path.exists(weightfile):
         (params,), _ = weights_io.load_weights(weightfile, [spec], [params])
 
-    labpath = (
-        imgpath.replace("images", "labels").replace("JPEGImages", "labels")
-        .replace(".jpg", ".txt").replace(".png", ".txt")
-    )
+    from fewshot_detection_tpu.data.datasets import get_labpath, topath
+
+    labpath = get_labpath(topath(imgpath))
     label = np.zeros((1, 50, 5), np.float32)
     if os.path.exists(labpath) and os.path.getsize(labpath):
         rows = np.loadtxt(labpath).reshape(-1, 5)[:50]

@@ -123,6 +123,18 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
 
         mesh = make_mesh(n_groups)
 
+    if os.environ.get("FSD_WARM", "0") == "1" and settings.multiscale:
+        log("pre-compiling multiscale buckets...")
+        trainer.warm(
+            params, mom, n_cls=len(probe_meta.classes),
+            batch_size=batch_size, n_groups=n_groups,
+            meta_shape=(settings.meta_width, settings.meta_height),
+            mask_shape=(settings.mask_width, settings.mask_height),
+            # learnet input channels before the mask concat
+            meta_channels=settings.meta_channels
+            - (1 if settings.metain_type in (2, 3) else 0),
+        )
+
     rng = random.Random(int(time.time()))
     nprng = np.random.RandomState(rng.randrange(2**31))
 

@@ -62,12 +62,14 @@ def get_novels(root: str, novelid: str | None = None) -> tuple[str, ...]:
 
 def _get_meta_image_ids(metafile: str, base_classes: tuple[str, ...]) -> tuple[str, ...]:
     """Image ids covered by a meta dict file, for yolo_joint (cfg.py:41-53)."""
+    from ..data.datasets import topath
+
     lines: list[str] = []
     with open(_data_asset(metafile)) as f:
         files = [ln.rstrip().split() for ln in f]
         files = [ln[-1] for ln in files if ln and ln[0] in base_classes]
     for fname in files:
-        with open(fname) as f:
+        with open(topath(fname)) as f:
             lines.extend(f.readlines())
     uniq = sorted(set(lines))
     return tuple(l.split("/")[-1].split(".")[0] for l in uniq)

@@ -34,11 +34,9 @@ PRIORITY_CLASSES = {10: [[78]], 30: [[24, 26, 30, 31, 34, 35, 38, 42, 44, 70, 78
 
 
 def get_labelpath(imgpath: str) -> str:
-    return (
-        imgpath.strip().replace("images", "labels")
-        .replace("JPEGImages", "labels")
-        .replace(".jpg", ".txt").replace(".png", ".txt")
-    )
+    from .datasets import get_labpath
+
+    return get_labpath(imgpath.strip())
 
 
 def _load_boxes(imgpath: str) -> np.ndarray | None:

@@ -141,7 +141,7 @@ class DetectionDataset:
                 with open(lines) as f:
                     files = [ln.rstrip().split()[-1] for ln in f if ln.strip()]
                 for fname in files:
-                    with open(fname) as f:
+                    with open(topath(fname)) as f:
                         rows.extend(f.readlines())
                 lines = sorted(set(rows))
             else:
@@ -159,17 +159,19 @@ class DetectionDataset:
         self.train = train
         self.shape = shape or (settings.width, settings.height)
         self.seen = seen
-        self.first_batch = False
         self.native = _native_pipe()
+        # scale switches must land on batch boundaries; batches() sets this
+        # to the actual batch size (the reference hardcoded its 64)
+        self._rescale_every = 64
 
     def __len__(self) -> int:
         return len(self.lines)
 
-    def _maybe_rescale(self, index: int, batch_size: int = 64) -> None:
+    def _maybe_rescale(self, index: int) -> None:
         s = self.settings
         if (
             self.train
-            and index % batch_size == 0
+            and index % self._rescale_every == 0
             and s.data != "coco"
             and s.multiscale
         ):
@@ -228,8 +230,11 @@ class DetectionDataset:
 
     def batches(self, batch_size: int, drop_last: bool = True):
         """Yield stacked (images (B,H,W,3), labels) numpy batches. All images
-        in a batch share the block's scale (the schedule changes only at
-        64-sample boundaries, matching the reference's worker stride)."""
+        in a batch share one scale: the multiscale schedule only switches at
+        batch boundaries."""
+        # a multiple of the batch size >= the reference's 64-sample block
+        self._rescale_every = max(batch_size, (64 // batch_size) * batch_size
+                                  or batch_size)
         n = len(self.lines)
         end = n - (n % batch_size) if drop_last else n
         for start in range(0, end, batch_size):

@@ -168,13 +168,9 @@ def write_voc_labels_1c(devkit: str, voclist_dir: str,
 
 
 def _labpath_1c(imgpath: str, cls_name: str) -> str:
-    return (
-        imgpath.strip()
-        .replace("images", f"labels_1c/{cls_name}")
-        .replace("JPEGImages", f"labels_1c/{cls_name}")
-        .replace(".jpg", ".txt")
-        .replace(".png", ".txt")
-    )
+    from .datasets import get_labpath_1c
+
+    return get_labpath_1c(imgpath.strip(), cls_name, "voc")
 
 
 def gen_image_fewlist(voclist_dir: str, few_nums=FEW_NUMS, classes=VOC_CLASSES):
@@ -211,11 +207,9 @@ def get_bbox_fewlist(rootfile: str, shot: int, classes=VOC_CLASSES, seed=2018):
             break
         imgpath = rng.sample(names, 1)[0]
         names.remove(imgpath)
-        labpath = (
-            imgpath.strip().replace("images", "labels")
-            .replace("JPEGImages", "labels")
-            .replace(".jpg", ".txt").replace(".png", ".txt")
-        )
+        from .datasets import get_labpath
+
+        labpath = get_labpath(imgpath.strip())
         if not (os.path.exists(labpath) and os.path.getsize(labpath)):
             continue
         bs = np.loadtxt(labpath).reshape(-1, 5)

@@ -65,15 +65,34 @@ def test_detector(
             output, CONF_THRESH, region.num_classes, region.anchor_wh
         )
         # labels flatten to (B, n_boxes, 5) for both plain (50) and meta
-        # (n_cls*50) layouts; meta outputs have B*n_cls rows (see below)
+        # (n_cls*50) layouts
         flat_targets = target.reshape(target.shape[0], -1, 5)
-        for i in range(len(all_boxes) if meta_batches is None else imgs.shape[0]):
-            boxes = nms(all_boxes[i], NMS_THRESH)
-            truths = flat_targets[i % flat_targets.shape[0]]
-            num_gts = _truths_length(truths)
-            total += num_gts
+        B = imgs.shape[0]
+        for i in range(B):
+            if meta_batches is None:
+                boxes = nms(all_boxes[i], NMS_THRESH)
+            else:
+                # meta output is b-major over class copies: gather image
+                # i's boxes from every copy, tagging each with its copy
+                # index as the class id. (The reference's test() harness was
+                # disabled and indexed targets out of bounds here,
+                # train_meta.py:288-291.)
+                n_cls = len(all_boxes) // B
+                boxes = []
+                for c in range(n_cls):
+                    for b in nms(all_boxes[i * n_cls + c], NMS_THRESH):
+                        boxes.append(b[:6] + [c])
+            truths = flat_targets[i]
+            if meta_batches is None:
+                gt_rows = list(range(_truths_length(truths)))
+            else:
+                # meta labels are binned per class with zero padding between
+                # bins — count every nonzero row, not just the first run
+                gt_rows = [t for t in range(truths.shape[0])
+                           if truths[t][1] > 0]
+            total += len(gt_rows)
             proposals += sum(1 for b in boxes if b[4] > CONF_THRESH)
-            for t in range(num_gts):
+            for t in gt_rows:
                 box_gt = [truths[t][1], truths[t][2], truths[t][3],
                           truths[t][4], 1.0, 1.0, truths[t][0]]
                 best_iou, best_j = _best_match(box_gt, boxes)

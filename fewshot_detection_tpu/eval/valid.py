@@ -153,9 +153,10 @@ def run_valid_ensemble(
             rws = pickle.load(fh)
         tki = list(settings.real_base_ids)
         for i in range(len(rws)):
-            # stored codes are torch (n, C, 1, 1); ours are (n, 1, 1, C)
+            # stored reference codes are torch NCHW (n, C, 1, 1); ours are
+            # NHWC (n, 1, 1, C) — transpose whenever the layouts differ
             rw = np.asarray(rws[i], np.float32)
-            if rw.ndim == 4 and rw.shape[1] != codes[i].shape[-1]:
+            if rw.ndim == 4 and rw.shape != codes[i].shape:
                 rw = rw.transpose(0, 2, 3, 1)
             codes[i][tki] = rw[tki]
 

@@ -149,18 +149,23 @@ class MetaTrainer:
         )
 
     def warm(self, params, mom, n_cls: int, batch_size: int, sizes=None,
-             n_groups: int = 1, dtype=jnp.float32):
+             n_groups: int = 1, dtype=jnp.float32,
+             meta_shape: tuple[int, int] = (416, 416),
+             mask_shape: tuple[int, int] = (416, 416),
+             meta_channels: int = 3):
         """Pre-compile one executable per multi-scale bucket (SURVEY.md §7:
         'warm all buckets at startup') so scale switches never stall the
-        training loop. Runs a dummy step per size; params/mom unchanged
-        (outputs discarded)."""
+        training loop. Geometry must match the real step: pass the run's
+        meta/mask shapes and learnet input channels (minus the mask)."""
         sizes = sizes or tuple(range(320, 609, 32))
         b = batch_size // n_groups
+        mh, mw = meta_shape[1], meta_shape[0]
+        kh, kw = mask_shape[1], mask_shape[0]
         for s in sizes:
             batch = {
                 "x": jnp.zeros((n_groups, b, s, s, 3), dtype),
-                "metax": jnp.zeros((n_groups, n_cls, 416, 416, 3), dtype),
-                "mask": jnp.zeros((n_groups, n_cls, 416, 416, 1), dtype),
+                "metax": jnp.zeros((n_groups, n_cls, mh, mw, meta_channels), dtype),
+                "mask": jnp.zeros((n_groups, n_cls, kh, kw, 1), dtype),
                 "target": jnp.zeros((n_groups, b, n_cls, 50, 5), jnp.float32),
                 "keep": jnp.ones((n_groups, b * n_cls), jnp.float32),
             }
