@@ -30,8 +30,7 @@ WARMUP = 3
 ITERS = 10
 
 
-def main():
-    import jax
+def _run(batch_size: int) -> float:
     import jax.numpy as jnp
 
     from fewshot_detection_tpu.config import parse_cfg
@@ -45,14 +44,14 @@ def main():
     )
     params = init_meta_params(spec, 0)
     # donate params/momentum (no full-model copies per step); remat trades
-    # cheap recompute for HBM capacity so batch 64 fits on one chip
+    # cheap recompute for HBM capacity so large batches fit on one chip
     trainer = MetaTrainer(
         spec, momentum=0.9, weight_decay=0.0005, donate=True, remat=True
     )
     mom = init_momentum(params)
 
     rng = np.random.RandomState(0)
-    R, b = 1, BATCH
+    R, b = 1, batch_size
     target = np.zeros((R, b, N_CLS, 50, 5), np.float32)
     for i in range(b):
         c = i % N_CLS
@@ -78,9 +77,21 @@ def main():
         p, m, metrics = trainer.step(p, m, batch, seen=30000 + i, lr=1e-5)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    del jax
+    return batch_size * ITERS / dt
 
-    img_per_sec = BATCH * ITERS / dt
+
+def main():
+    img_per_sec = None
+    for b in (BATCH, 64, 16):  # fall back on smaller-memory chips
+        try:
+            img_per_sec = _run(b)
+            break
+        except Exception as e:  # OOM / resource exhausted on this chip
+            import sys
+
+            print(f"bench at batch {b} failed ({type(e).__name__}); "
+                  f"retrying smaller", file=sys.stderr)
+    assert img_per_sec is not None, "bench failed at every batch size"
     print(
         json.dumps(
             {
