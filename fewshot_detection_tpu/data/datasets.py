@@ -311,6 +311,9 @@ class MetaDataset:
         self.batch_size = len(self.classes) * num_replicas
         self.meta_shape = (s.meta_width, s.meta_height)
         self.mask_shape = (s.mask_width, s.mask_height)
+        # native decode+augment applies to plain RGB support inputs; the
+        # metain 3/4 cropped-object channels need the PIL image around
+        self.native = _native_pipe() if s.metain_type in (1, 2) else None
         if ensemble:
             self.inds = self._filter(self.inds)
 
@@ -320,7 +323,8 @@ class MetaDataset:
     # -- internals ---------------------------------------------------------
 
     def _load_support(self, clsid: int, which: int | str):
-        """One augmented support image + its transformed per-class boxes."""
+        """One augmented support image + its transformed per-class boxes.
+        Returns (PIL image | float array, boxes)."""
         if isinstance(which, int):
             imgpath = self.metalines[clsid][which].rstrip()
         else:
@@ -328,6 +332,25 @@ class MetaDataset:
         labpath = get_labpath_1c(
             imgpath, self.classes[clsid], self.settings.data
         )
+        if self.native is not None:
+            if not self.train:
+                arr = self.native.load_plain(imgpath, *self.meta_shape)
+                boxes = load_label_boxes(labpath, 0, 0, 0, 1.0, 1.0)
+                return arr, boxes
+            ow, oh = self.native.image_size(imgpath)
+            p = sample_augment_params(
+                ow, oh, self.rng, jitter=JITTER, hue=HUE,
+                saturation=SATURATION, exposure=EXPOSURE,
+            )
+            arr = self.native.load_augment(
+                imgpath, self.meta_shape[0], self.meta_shape[1],
+                p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                p.dhue, p.dsat, p.dexp,
+            )
+            boxes = load_label_boxes(
+                labpath, p.flip, p.dx, p.dy, 1.0 / p.sx, 1.0 / p.sy
+            )
+            return arr, boxes
         img = Image.open(imgpath).convert("RGB")
         img, flip, dx, dy, sx, sy = augment_image(
             img, self.meta_shape, self.rng,
@@ -351,14 +374,15 @@ class MetaDataset:
         mask[y1:y2, x1:x2, :] = 1.0
         return mask
 
-    def _compose_input(self, img: Image.Image, box: np.ndarray):
+    def _compose_input(self, img, box: np.ndarray):
         """(image array, mask) per metain_type; type 3/4 appends the cropped
-        object resized to full size (dataset.py:386-391)."""
+        object resized to full size (dataset.py:386-391). `img` is a float
+        array when the native loader produced it, else a PIL image."""
         s = self.settings
         mask = self._make_mask(box)
         if mask is None:
             return None, None
-        arr = image_to_array(img)
+        arr = img if isinstance(img, np.ndarray) else image_to_array(img)
         if s.metain_type in (3, 4):
             w, h = self.mask_shape
             x1 = int(max(0, round((box[0] - box[2] / 2) * w)))
