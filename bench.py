@@ -80,24 +80,38 @@ def _run(batch_size: int) -> float:
     return batch_size * ITERS / dt
 
 
+def _is_oom(e: Exception) -> bool:
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "OOM" in msg
+
+
 def main():
+    import sys
+    import traceback
+
     img_per_sec = None
+    used_batch = None
     for b in (BATCH, 64, 16):  # fall back on smaller-memory chips
         try:
             img_per_sec = _run(b)
+            used_batch = b
             break
-        except Exception as e:  # OOM / resource exhausted on this chip
-            import sys
-
-            print(f"bench at batch {b} failed ({type(e).__name__}); "
-                  f"retrying smaller", file=sys.stderr)
-    assert img_per_sec is not None, "bench failed at every batch size"
+        except Exception as e:
+            if not _is_oom(e):
+                raise  # real failures surface with their traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"bench at batch {b} hit OOM; retrying smaller",
+                  file=sys.stderr)
+    assert img_per_sec is not None, "bench OOM'd at every batch size"
     print(
         json.dumps(
             {
                 "metric": "meta_yolo_train_images_per_sec_per_chip",
                 "value": round(img_per_sec, 2),
-                "unit": "images/sec/chip (fwd+bwd+update, 416px, 15-way)",
+                "unit": (
+                    f"images/sec/chip (fwd+bwd+update, 416px, 15-way, "
+                    f"batch {used_batch})"
+                ),
                 "vs_baseline": round(img_per_sec / REF_IMG_PER_SEC_PER_GPU, 2),
             }
         )

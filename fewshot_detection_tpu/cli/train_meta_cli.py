@@ -125,14 +125,19 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
 
     if os.environ.get("FSD_WARM", "0") == "1" and settings.multiscale:
         log("pre-compiling multiscale buckets...")
+        shard_fn = None
+        if mesh is not None:
+            from ..parallel import shard_batch as _sb
+
+            shard_fn = lambda b: _sb(mesh, b)
         trainer.warm(
             params, mom, n_cls=len(probe_meta.classes),
             batch_size=batch_size, n_groups=n_groups,
             meta_shape=(settings.meta_width, settings.meta_height),
             mask_shape=(settings.mask_width, settings.mask_height),
-            # learnet input channels before the mask concat
-            meta_channels=settings.meta_channels
-            - (1 if settings.metain_type in (2, 3) else 0),
+            # raw support-image channels: RGB, +cropped RGB for metain 3/4
+            meta_channels=6 if settings.metain_type in (3, 4) else 3,
+            shard_fn=shard_fn,
         )
 
     rng = random.Random(int(time.time()))

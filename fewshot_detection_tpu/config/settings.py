@@ -63,11 +63,11 @@ def get_novels(root: str, novelid: str | None = None) -> tuple[str, ...]:
 def _get_meta_image_ids(metafile: str, base_classes: tuple[str, ...]) -> tuple[str, ...]:
     """Image ids covered by a meta dict file, for yolo_joint (cfg.py:41-53)."""
     from ..data.datasets import topath
+    from ..data.lists import parse_dict_file
 
+    pairs = parse_dict_file(_data_asset(metafile))
+    files = [path for cls, path in pairs if cls in base_classes]
     lines: list[str] = []
-    with open(_data_asset(metafile)) as f:
-        files = [ln.rstrip().split() for ln in f]
-        files = [ln[-1] for ln in files if ln and ln[0] in base_classes]
     for fname in files:
         with open(topath(fname)) as f:
             lines.extend(f.readlines())

@@ -149,7 +149,10 @@ class DetectionDataset:
                     lines = f.readlines()
             if filter_valid is None:
                 filter_valid = train
-        self.lines = [topath(l.rstrip()) for l in lines if l.strip()]
+            # remap only at the raw-read boundary: python lists arriving
+            # here (e.g. from load_lines/build_dataset) are already remapped
+            lines = [topath(l) for l in lines]
+        self.lines = [l.rstrip() for l in lines if l.strip()]
         if filter_valid:
             self.lines = [
                 l for l in self.lines if image_is_valid(l, settings.base_ids)
@@ -232,9 +235,9 @@ class DetectionDataset:
         """Yield stacked (images (B,H,W,3), labels) numpy batches. All images
         in a batch share one scale: the multiscale schedule only switches at
         batch boundaries."""
-        # a multiple of the batch size >= the reference's 64-sample block
-        self._rescale_every = max(batch_size, (64 // batch_size) * batch_size
-                                  or batch_size)
+        # the smallest multiple of the batch size >= the reference's
+        # 64-sample block
+        self._rescale_every = ((64 + batch_size - 1) // batch_size) * batch_size
         n = len(self.lines)
         end = n - (n % batch_size) if drop_last else n
         for start in range(0, end, batch_size):

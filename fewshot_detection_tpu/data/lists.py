@@ -82,9 +82,10 @@ def parse_dict_file(path: str) -> list[tuple[str, str]]:
                 pairs.append((toks[0], toks[1]))
                 continue
             split_at = next(
-                (i for i, t in enumerate(toks) if i > 0 and "/" in t),
-                len(toks) - 1,
+                (i for i, t in enumerate(toks) if i > 0 and "/" in t), None
             )
+            if split_at is None:
+                raise ValueError(f"unrecognized dict row: {toks}")
             pairs.append((" ".join(toks[:split_at]), " ".join(toks[split_at:])))
     return pairs
 

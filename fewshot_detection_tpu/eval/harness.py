@@ -83,13 +83,13 @@ def test_detector(
                     for b in nms(all_boxes[i * n_cls + c], NMS_THRESH):
                         boxes.append(b[:6] + [c])
             truths = flat_targets[i]
-            if meta_batches is None:
-                gt_rows = list(range(_truths_length(truths)))
-            else:
-                # meta labels are binned per class with zero padding between
-                # bins — count every nonzero row, not just the first run
+            if settings.metayolo:
+                # metayolo labels are binned per class with zero padding
+                # between bins — count every nonzero row, not the first run
                 gt_rows = [t for t in range(truths.shape[0])
                            if truths[t][1] > 0]
+            else:
+                gt_rows = list(range(_truths_length(truths)))
             total += len(gt_rows)
             proposals += sum(1 for b in boxes if b[4] > CONF_THRESH)
             for t in gt_rows:

@@ -152,11 +152,14 @@ class MetaTrainer:
              n_groups: int = 1, dtype=jnp.float32,
              meta_shape: tuple[int, int] = (416, 416),
              mask_shape: tuple[int, int] = (416, 416),
-             meta_channels: int = 3):
+             meta_channels: int = 3, shard_fn=None):
         """Pre-compile one executable per multi-scale bucket (SURVEY.md §7:
         'warm all buckets at startup') so scale switches never stall the
-        training loop. Geometry must match the real step: pass the run's
-        meta/mask shapes and learnet input channels (minus the mask)."""
+        training loop. Geometry AND shardings must match the real step:
+        meta_channels is the raw support-image channel count (3, or 6 for
+        cropped-object metain types), and `shard_fn` must be the same
+        batch-sharding function the loop uses (pjit keys its cache on input
+        shardings, so unsharded dummies would warm nothing on a mesh)."""
         sizes = sizes or tuple(range(320, 609, 32))
         b = batch_size // n_groups
         mh, mw = meta_shape[1], meta_shape[0]
@@ -169,6 +172,8 @@ class MetaTrainer:
                 "target": jnp.zeros((n_groups, b, n_cls, 50, 5), jnp.float32),
                 "keep": jnp.ones((n_groups, b * n_cls), jnp.float32),
             }
+            if shard_fn is not None:
+                batch = shard_fn(batch)
             self._step.lower(
                 params, mom, batch["x"], batch["metax"], batch["mask"],
                 batch["target"], batch["keep"],
