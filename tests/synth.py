@@ -22,13 +22,15 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0)
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
 
+    # distinct bright color per class so detection/reweighting are LEARNABLE
+    cls_colors = (nprng.rand(20, 3) * 155 + 100).astype(np.uint8)
+
     per_class_imgs = {c: [] for c in range(20)}
     img_paths = []
     for i in range(n_images):
         w, h = size
-        arr = nprng.randint(0, 255, (h, w, 3), np.uint8)
+        arr = nprng.randint(0, 60, (h, w, 3), np.uint8)  # dark noise bg
         path = os.path.join(img_dir, f"im{i:03d}.png")
-        Image.fromarray(arr).save(path)
         img_paths.append(path)
 
         rows = []
@@ -39,6 +41,13 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0)
             bw, bh = rng.uniform(0.1, 0.4), rng.uniform(0.1, 0.4)
             rows.append((cls, cx, cy, bw, bh))
             per_class_imgs[cls].append((path, (cls, cx, cy, bw, bh)))
+            # paint the object: a solid class-colored rectangle
+            x1 = max(0, int((cx - bw / 2) * w))
+            y1 = max(0, int((cy - bh / 2) * h))
+            x2 = min(w, int((cx + bw / 2) * w))
+            y2 = min(h, int((cy + bh / 2) * h))
+            arr[y1:y2, x1:x2] = cls_colors[cls]
+        Image.fromarray(arr).save(path)
         with open(os.path.join(lab_dir, f"im{i:03d}.txt"), "w") as f:
             for r in rows:
                 f.write("%d %.6f %.6f %.6f %.6f\n" % r)
