@@ -123,6 +123,45 @@ bool decode_file(const char* path, ImageU8* out) {
   return ok;
 }
 
+// Header-only dimension probe: no pixel decode.
+bool probe_size(const char* path, int* w, int* h) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, fp);
+  rewind(fp);
+  bool ok = false;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jump)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, fp);
+      jpeg_read_header(&cinfo, TRUE);
+      *w = cinfo.image_width;
+      *h = cinfo.image_height;
+      ok = true;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  } else if (n >= 8 && !png_sig_cmp(magic, 0, 8)) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (png && info && !setjmp(png_jmpbuf(png))) {
+      png_init_io(png, fp);
+      png_read_info(png, info);
+      *w = png_get_image_width(png, info);
+      *h = png_get_image_height(png, info);
+      ok = true;
+    }
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+  }
+  fclose(fp);
+  return ok;
+}
+
 // ----------------------------------------------------------- crop / flip
 
 // Crop with virtual zero padding outside the source (PIL crop semantics).
@@ -344,11 +383,7 @@ int load_one(const char* path, int out_w, int out_h, int pleft, int pright,
 extern "C" {
 
 int fsd_image_size(const char* path, int* w, int* h) {
-  ImageU8 img;  // full decode; callers needing headers only use PIL
-  if (!decode_file(path, &img)) return -1;
-  *w = img.w;
-  *h = img.h;
-  return 0;
+  return probe_size(path, w, h) ? 0 : -1;
 }
 
 int fsd_decode(const char* path, uint8_t* out, int max_bytes, int* w, int* h) {
