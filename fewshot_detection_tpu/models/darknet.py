@@ -98,25 +98,25 @@ def init_params(spec: NetSpec, rng: jax.Array | int = 0) -> Params:
     params: Params = []
     for layer in spec.layers:
         if layer.kind == "conv":
-            if layer.dynamic and layer.partial is None:
-                params.append(None)
-                continue
             if layer.dynamic:
-                # shared partial weight: (kh, kw, partial)
-                rng, k = jax.random.split(rng)
-                n = layer.partial * layer.size * layer.size
-                stdv = 1.0 / float(np.sqrt(n))
-                params.append(
-                    {
-                        "w": jax.random.uniform(
-                            k,
-                            (layer.size, layer.size, layer.partial),
-                            jnp.float32,
-                            -stdv,
-                            stdv,
-                        )
+                p: dict[str, Any] = {}
+                if layer.partial is not None:
+                    # shared partial weight: (kh, kw, partial)
+                    rng, k = jax.random.split(rng)
+                    n = layer.partial * layer.size * layer.size
+                    stdv = 1.0 / float(np.sqrt(n))
+                    p["w"] = jax.random.uniform(
+                        k, (layer.size, layer.size, layer.partial),
+                        jnp.float32, -stdv, stdv,
+                    )
+                if layer.batch_normalize:
+                    p["bn"] = {
+                        "gamma": jnp.ones((layer.out_channels,), jnp.float32),
+                        "beta": jnp.zeros((layer.out_channels,), jnp.float32),
+                        "mean": jnp.zeros((layer.out_channels,), jnp.float32),
+                        "var": jnp.ones((layer.out_channels,), jnp.float32),
                     }
-                )
+                params.append(p or None)
                 continue
             cin = layer.in_channels // layer.groups
             fan_in = cin * layer.size * layer.size

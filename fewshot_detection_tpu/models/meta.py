@@ -166,11 +166,13 @@ def dynamic_conv_general(
 
 def _can_fuse(layer: LayerSpec, nxt: LayerSpec | None, dw: jax.Array, x: jax.Array) -> bool:
     """Fusable pattern: first dconv, 1x1 depthwise (group_size 1), linear
-    activation, immediately followed by a static 1x1 conv (the 30-ch head)."""
+    activation, no BN, immediately followed by a static 1x1 conv (the
+    30-ch head)."""
     return (
         nxt is not None
         and layer.size == 1
         and layer.partial is None
+        and not layer.batch_normalize
         and layer.activation == "linear"
         and dw.shape[1] == 1
         and dw.shape[2] == 1
@@ -266,6 +268,15 @@ def detect_forward(
                     skip_next = True
                 else:
                     x = dynamic_conv_general(x, dw, layer, is_first=is_first)
+                    if layer.batch_normalize:
+                        from ..ops.layers import batchnorm_apply, batchnorm_train
+
+                        bn_p = dparams[layer.index]["bn"]
+                        if train:
+                            x, stats = batchnorm_train(x, bn_p)
+                            bn_updates[layer.index] = stats
+                        else:
+                            x = batchnorm_apply(x, bn_p)
                     x = _activate(x, layer.activation)
                 dyn_cnt += 1
             else:

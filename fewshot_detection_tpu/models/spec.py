@@ -70,7 +70,12 @@ class LayerSpec:
     @property
     def has_params(self) -> bool:
         if self.kind == "conv":
-            return not (self.dynamic and self.partial is None)
+            if self.dynamic:
+                # weight-less dynamic convs are skipped entirely by the
+                # codec even when they carry BN (darknet_meta.py:374,440);
+                # with a partial weight they store [BN params,] shared w
+                return self.partial is not None
+            return True
         return self.kind == "connected"
 
 

@@ -69,9 +69,21 @@ def _conv_weight_numel(layer: LayerSpec) -> int:
     )
 
 
+def _read_bn(reader: _Reader, c: int) -> dict:
+    return {
+        "beta": reader.take(c).copy(),
+        "gamma": reader.take(c).copy(),
+        "mean": reader.take(c).copy(),
+        "var": reader.take(c).copy(),
+    }
+
+
 def _read_conv(reader: _Reader, layer: LayerSpec, p: dict) -> dict:
     p = dict(p) if p else {}
     if layer.dynamic:
+        # mirror load_conv_bn on (BN, partial weight) — darknet_meta.py:376-381
+        if layer.batch_normalize:
+            p["bn"] = _read_bn(reader, layer.out_channels)
         w = reader.take(_conv_weight_numel(layer)).reshape(
             layer.partial, layer.size, layer.size
         )
@@ -79,14 +91,7 @@ def _read_conv(reader: _Reader, layer: LayerSpec, p: dict) -> dict:
         return p
     cin = layer.in_channels // layer.groups
     if layer.batch_normalize:
-        c = layer.out_channels
-        bn = {
-            "beta": reader.take(c).copy(),
-            "gamma": reader.take(c).copy(),
-            "mean": reader.take(c).copy(),
-            "var": reader.take(c).copy(),
-        }
-        p["bn"] = bn
+        p["bn"] = _read_bn(reader, layer.out_channels)
     elif layer.bias:
         p["b"] = reader.take(layer.out_channels).copy()
     w = reader.take(_conv_weight_numel(layer)).reshape(
@@ -139,15 +144,20 @@ def load_weights(
     return out, header
 
 
+def _write_bn(chunks: list[np.ndarray], bn: dict) -> None:
+    for key in ("beta", "gamma", "mean", "var"):
+        chunks.append(np.asarray(bn[key], np.float32).ravel())
+
+
 def _write_conv(chunks: list[np.ndarray], layer: LayerSpec, p: dict) -> None:
     if layer.dynamic:
+        if layer.batch_normalize:
+            _write_bn(chunks, p["bn"])
         w = np.asarray(p["w"], np.float32)
         chunks.append(np.ascontiguousarray(w.transpose(2, 0, 1)).ravel())
         return
     if layer.batch_normalize:
-        bn = p["bn"]
-        for key in ("beta", "gamma", "mean", "var"):
-            chunks.append(np.asarray(bn[key], np.float32).ravel())
+        _write_bn(chunks, p["bn"])
     elif "b" in p:
         chunks.append(np.asarray(p["b"], np.float32).ravel())
     w = np.asarray(p["w"], np.float32)

@@ -107,17 +107,26 @@ bool decode_png(FILE* fp, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
-  FILE* fp = fopen(path, "rb");
-  if (!fp) return false;
+enum class Format { kUnknown, kJpeg, kPng };
+
+// Sniff the container format and rewind; shared by decode and size probe.
+Format sniff_format(FILE* fp) {
   uint8_t magic[8] = {0};
   size_t n = fread(magic, 1, 8, fp);
   rewind(fp);
+  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) return Format::kJpeg;
+  if (n >= 8 && !png_sig_cmp(magic, 0, 8)) return Format::kPng;
+  return Format::kUnknown;
+}
+
+bool decode_file(const char* path, ImageU8* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
   bool ok = false;
-  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(fp, out);
-  } else if (n >= 8 && !png_sig_cmp(magic, 0, 8)) {
-    ok = decode_png(fp, out);
+  switch (sniff_format(fp)) {
+    case Format::kJpeg: ok = decode_jpeg(fp, out); break;
+    case Format::kPng: ok = decode_png(fp, out); break;
+    default: break;
   }
   fclose(fp);
   return ok;
@@ -127,11 +136,9 @@ bool decode_file(const char* path, ImageU8* out) {
 bool probe_size(const char* path, int* w, int* h) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
-  uint8_t magic[8] = {0};
-  size_t n = fread(magic, 1, 8, fp);
-  rewind(fp);
   bool ok = false;
-  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+  Format fmt = sniff_format(fp);
+  if (fmt == Format::kJpeg) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
@@ -145,7 +152,7 @@ bool probe_size(const char* path, int* w, int* h) {
       ok = true;
     }
     jpeg_destroy_decompress(&cinfo);
-  } else if (n >= 8 && !png_sig_cmp(magic, 0, 8)) {
+  } else if (fmt == Format::kPng) {
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                              nullptr, nullptr);
     png_infop info = png ? png_create_info_struct(png) : nullptr;

@@ -6,8 +6,6 @@ sum of the two groups' gradients — and, by extension, the same math the
 reference's DataParallel gather produced."""
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +15,6 @@ from fewshot_detection_tpu.models.spec import build_spec
 from fewshot_detection_tpu.train import MetaTrainer, init_momentum
 from fewshot_detection_tpu.train.optim import sgd_update
 from fewshot_detection_tpu.train.trainer import (
-    _mean_over_groups,
     apply_meta_bn_updates,
 )
 

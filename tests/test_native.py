@@ -43,6 +43,9 @@ def test_decode_jpeg_matches_pil(img_files):
 def test_image_size(img_files):
     pipe = native_loader.NativeImagePipe()
     assert pipe.image_size(img_files["png"]) == (64, 48)
+    assert pipe.image_size(img_files["jpg"]) == (64, 48)
+    with pytest.raises(IOError):
+        pipe.image_size("/nonexistent.jpg")
 
 
 def test_plain_resize_close_to_pil_bilinear(img_files):

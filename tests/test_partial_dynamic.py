@@ -2,8 +2,6 @@
 per-class codes (dynamic_conv.py:39-48, 133-136 in the reference)."""
 
 import numpy as np
-import pytest
-
 import jax.numpy as jnp
 
 from fewshot_detection_tpu.models.meta import (
@@ -88,3 +86,67 @@ def test_partial_weights_codec_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded[0]["w"]), np.asarray(params[0]["w"]), rtol=1e-6
     )
+
+
+def test_partial_bn_codec_and_forward(tmp_path):
+    """dynamic=1 batch_normalize=1 partial=N stores [BN, shared w] like the
+    reference's load_conv_bn walk, and the detect path applies BN."""
+    import jax.numpy as jnp
+
+    from fewshot_detection_tpu.models import weights_io
+    from fewshot_detection_tpu.models.meta import MetaSpec, detect_forward, init_meta_params
+    from fewshot_detection_tpu.models.spec import build_spec
+
+    C = 8
+    dblocks = [
+        {"type": "net", "batch": "1", "height": "16", "width": "16",
+         "channels": str(C)},
+        {"type": "convolutional", "batch_normalize": "1", "filters": str(C),
+         "size": "1", "stride": "1", "pad": "1", "activation": "leaky",
+         "dynamic": "1", "partial": str(C)},
+    ]
+    lblocks = [
+        {"type": "learnet", "feat_layer": "0", "channels": "4",
+         "height": "16", "width": "16"},
+        {"type": "convolutional", "batch_normalize": "1", "filters": str(C),
+         "size": "1", "stride": "1", "pad": "1", "activation": "leaky"},
+        {"type": "globalmax"},
+    ]
+    spec = MetaSpec(build_spec(dblocks), build_spec(lblocks))
+    params = init_meta_params(spec, 0)
+    assert "bn" in params["darknet"][0] and "w" in params["darknet"][0]
+
+    # perturb BN so the roundtrip is nontrivial
+    rng = np.random.RandomState(0)
+    bn = params["darknet"][0]["bn"]
+    params["darknet"][0]["bn"] = {
+        k: jnp.asarray(rng.rand(C).astype(np.float32) + 0.5) for k in bn
+    }
+
+    path = str(tmp_path / "dbn.weights")
+    weights_io.save_weights(path, [spec.darknet, spec.learnet],
+                            [params["darknet"], params["learnet"]], seen=0)
+    fresh = init_meta_params(spec, 7)
+    (d2, l2), _ = weights_io.load_weights(
+        path, [spec.darknet, spec.learnet],
+        [fresh["darknet"], fresh["learnet"]],
+    )
+    for k in ("gamma", "beta", "mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(d2[0]["bn"][k]),
+            np.asarray(params["darknet"][0]["bn"][k]), rtol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(d2[0]["w"]), np.asarray(params["darknet"][0]["w"]), rtol=1e-6
+    )
+
+    # forward applies the BN (output differs when running stats change)
+    x = jnp.asarray(rng.rand(1, 4, 4, C).astype(np.float32))
+    dw = [jnp.asarray(rng.rand(2, 1, 1, C).astype(np.float32))]
+    y1, _ = detect_forward(spec, params, x, dw)
+    params2 = {"darknet": list(params["darknet"]), "learnet": params["learnet"]}
+    p0 = dict(params2["darknet"][0])
+    p0["bn"] = {**p0["bn"], "mean": p0["bn"]["mean"] + 1.0}
+    params2["darknet"][0] = p0
+    y2, _ = detect_forward(spec, params2, x, dw)
+    assert float(jnp.abs(y1 - y2).max()) > 1e-4
