@@ -20,14 +20,28 @@ import os
 
 import numpy as np
 
+import os
+
 from ..config.settings import Settings
 from ..data.datasets import DetectionDataset, MetaDataset
-from ..ops.boxes import get_region_boxes, get_region_boxes_v2, nms
+from ..ops.boxes import get_region_boxes, get_region_boxes_v2
+from ..ops.boxes import nms as _host_nms
 from ..utils import get_image_size
 from .detector import MetaDetector, PlainDetector
 
 CONF_THRESH = 0.005
 NMS_THRESH = 0.45
+
+
+def nms(boxes, thresh):
+    """Host greedy NMS by default; FSD_DEVICE_NMS=jax|pallas routes through
+    the on-device implementations (ops/nms_device.py)."""
+    mode = os.environ.get("FSD_DEVICE_NMS", "")
+    if mode in ("jax", "pallas"):
+        from ..ops.nms_device import nms_device_boxes
+
+        return nms_device_boxes(boxes, thresh, use_pallas=mode == "pallas")
+    return _host_nms(boxes, thresh)
 
 
 def results_prefix(weightfile: str, kind: str = "e") -> str:
