@@ -20,8 +20,6 @@ import os
 
 import numpy as np
 
-import os
-
 from ..config.settings import Settings
 from ..data.datasets import DetectionDataset, MetaDataset
 from ..ops.boxes import get_region_boxes, get_region_boxes_v2
@@ -42,6 +40,12 @@ def nms(boxes, thresh):
 
         return nms_device_boxes(boxes, thresh, use_pallas=mode == "pallas")
     return _host_nms(boxes, thresh)
+
+
+def eval_batch_size(default: int = 2) -> int:
+    """The reference swept validation at batch 2 (valid.py:37); raise it
+    with FSD_EVAL_BATCH for TPU-sized batches."""
+    return int(os.environ.get("FSD_EVAL_BATCH", default))
 
 
 def results_prefix(weightfile: str, kind: str = "e") -> str:
@@ -75,9 +79,10 @@ def run_valid(
     weightfile: str,
     settings: Settings,
     outfile: str = "comp4_det_test_",
-    batch_size: int = 2,
+    batch_size: int | None = None,
 ) -> str:
     """Plain YOLOv2 sweep; boxes routed to files by predicted class id."""
+    batch_size = batch_size or eval_batch_size()
     m = PlainDetector(cfgfile, weightfile)
     prefix = results_prefix(weightfile, "e")
     print("saving to: " + prefix)
@@ -142,8 +147,9 @@ def run_valid_ensemble(
     settings: Settings,
     outfile: str = "comp4_det_test_",
     use_baserw: bool = False,
-    batch_size: int = 2,
+    batch_size: int | None = None,
 ) -> str:
+    batch_size = batch_size or eval_batch_size()
     m = MetaDetector(darknetcfg, learnetcfg, weightfile,
                      metain_type=settings.metain_type)
     kind = "ene_" if use_baserw else "ene"
@@ -186,10 +192,11 @@ def run_valid_meta(
     weightfile: str,
     settings: Settings,
     outfile: str = "comp4_det_test_",
-    batch_size: int = 2,
+    batch_size: int | None = None,
 ) -> str:
     """Per-batch support codes (valid_meta.py): each detection batch uses a
     fresh support batch from the (train=False) meta stream."""
+    batch_size = batch_size or eval_batch_size()
     m = MetaDetector(darknetcfg, learnetcfg, weightfile,
                      metain_type=settings.metain_type)
     prefix = results_prefix(weightfile, "e")
