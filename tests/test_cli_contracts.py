@@ -1,0 +1,36 @@
+"""Every root CLI prints its reference-contract usage line on bad argv."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CLIS = [
+    ("train.py", "python train.py datacfg cfgfile weightfile"),
+    ("train_meta.py", "python train_meta.py datacfg darknetcfg learnetcfg weightfile"),
+    ("detect.py", "python detect.py cfgfile weightfile imgfile"),
+    ("valid.py", "python valid.py datacfg cfgfile weightfile"),
+    ("valid_meta.py", "python valid_meta.py datacfg darknetcfg learnetcfg weightfile"),
+    ("valid_ensemble.py", "python valid_ensemble.py datacfg darknetcfg learnetcfg weightfile"),
+    ("eval.py", "python eval.py datacfg cfgfile weightfile"),
+    ("recall.py", "python recall.py cfgfile weightfile imglist"),
+    ("partial.py", "python partial.py cfgfile weightfile output cutoff"),
+    ("demo.py", "python demo.py cfgfile weightfile"),
+    ("debug.py", "python debug.py cfgfile weightfile imgpath"),
+]
+
+
+@pytest.mark.parametrize("script,usage", CLIS, ids=[c[0] for c in CLIS])
+def test_cli_usage(script, usage):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, script)],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    out = r.stdout + r.stderr
+    assert "Usage" in out, out[-500:]
+    # the usage line names the right positional args
+    key = usage.split("python ")[1].split()[0]
+    assert key in out, out[-500:]
