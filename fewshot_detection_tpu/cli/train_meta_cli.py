@@ -163,15 +163,21 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
             f"samples, lr {lr:f}"
         )
 
+        def episodes():
+            # detection + support batches prepared together so the
+            # background thread hides BOTH loads behind the device step
+            for imgs, labels in ds.batches(batch_size):
+                metax, mask = next(meta_iter)
+                yield imgs, labels, metax, mask
+
         with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
-            it = prefetch(ds.batches(batch_size))
+            it = prefetch(episodes())
             while True:
                 with timer.phase("data"):
                     nxt = next(it, None)
                     if nxt is None:
                         break
-                    imgs, labels = nxt
-                    metax, mask = next(meta_iter)
+                    imgs, labels, metax, mask = nxt
                 lr = lr_schedule(processed_batches, learning_rate, steps, scales)
                 processed_batches += 1
                 with timer.phase("step"):
