@@ -31,15 +31,11 @@ CONF_THRESH = 0.005
 NMS_THRESH = 0.45
 
 
-def nms(boxes, thresh):
-    """Host greedy NMS by default; FSD_DEVICE_NMS=jax|pallas routes through
-    the on-device implementations (ops/nms_device.py)."""
-    mode = os.environ.get("FSD_DEVICE_NMS", "")
-    if mode in ("jax", "pallas"):
-        from ..ops.nms_device import nms_device_boxes
-
-        return nms_device_boxes(boxes, thresh, use_pallas=mode == "pallas")
-    return _host_nms(boxes, thresh)
+# Host greedy NMS. The on-device implementations (ops/nms_device.py) are
+# for embedding inside jitted serving pipelines with fixed-size candidate
+# buffers; calling them per image/class from this host loop would retrace
+# per distinct box count and round-trip host<->device each call.
+nms = _host_nms
 
 
 def eval_batch_size(default: int = 2) -> int:
@@ -195,8 +191,12 @@ def run_valid_meta(
     batch_size: int | None = None,
 ) -> str:
     """Per-batch support codes (valid_meta.py): each detection batch uses a
-    fresh support batch from the (train=False) meta stream."""
-    batch_size = batch_size or eval_batch_size()
+    fresh support batch from the (train=False) meta stream.
+
+    NOTE: batch size is part of this protocol (codes refresh once per
+    detection batch), so the FSD_EVAL_BATCH throughput knob deliberately
+    does NOT apply here — the reference's batch 2 stays the default."""
+    batch_size = batch_size or 2
     m = MetaDetector(darknetcfg, learnetcfg, weightfile,
                      metain_type=settings.metain_type)
     prefix = results_prefix(weightfile, "e")

@@ -246,7 +246,10 @@ def fold_batchnorm(spec: NetSpec, params: Params) -> Params:
 
     folded: Params = []
     for layer, p in zip(spec.layers, params):
-        if p is None or layer.kind != "conv" or not layer.batch_normalize:
+        # dynamic convs are not static-foldable (their effective weights are
+        # the per-episode class codes); leave their params untouched
+        if (p is None or layer.kind != "conv" or layer.dynamic
+                or not layer.batch_normalize):
             folded.append(p)
             continue
         bn = p["bn"]
@@ -266,7 +269,7 @@ def folded_spec(spec: NetSpec) -> NetSpec:
 
     layers = tuple(
         dataclasses.replace(l, batch_normalize=False, bias=True)
-        if l.kind == "conv" and l.batch_normalize
+        if l.kind == "conv" and l.batch_normalize and not l.dynamic
         else l
         for l in spec.layers
     )

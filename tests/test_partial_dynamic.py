@@ -140,13 +140,40 @@ def test_partial_bn_codec_and_forward(tmp_path):
         np.asarray(d2[0]["w"]), np.asarray(params["darknet"][0]["w"]), rtol=1e-6
     )
 
-    # forward applies the BN (output differs when running stats change)
-    x = jnp.asarray(rng.rand(1, 4, 4, C).astype(np.float32))
-    dw = [jnp.asarray(rng.rand(2, 1, 1, C).astype(np.float32))]
-    y1, _ = detect_forward(spec, params, x, dw)
-    params2 = {"darknet": list(params["darknet"]), "learnet": params["learnet"]}
-    p0 = dict(params2["darknet"][0])
-    p0["bn"] = {**p0["bn"], "mean": p0["bn"]["mean"] + 1.0}
-    params2["darknet"][0] = p0
-    y2, _ = detect_forward(spec, params2, x, dw)
-    assert float(jnp.abs(y1 - y2).max()) > 1e-4
+    # forward applies BN between the dynamic conv and the activation —
+    # torch oracle: grouped conv -> batch_norm(eval) -> leaky
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.rand(1, 4, 4, C).astype(np.float32)
+    dw_codes = rng.rand(2, 1, 1, C).astype(np.float32)
+    y1, _ = detect_forward(spec, params, jnp.asarray(x),
+                           [jnp.asarray(dw_codes)])
+
+    N = 2
+    shared = np.asarray(params["darknet"][0]["w"])  # (1, 1, partial)
+    shared_t = torch.from_numpy(
+        np.tile(shared.transpose(2, 0, 1)[None], (N, 1, 1, 1))
+    )  # (N, partial, 1, 1)
+    dw_t = torch.from_numpy(
+        np.ascontiguousarray(dw_codes.transpose(0, 3, 1, 2))
+    )  # (N, C, 1, 1)
+    full = torch.cat([shared_t, dw_t], dim=1)  # (N, 2C, 1, 1)
+    xt = torch.from_numpy(
+        np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+    ).repeat(1, N, 1, 1)
+    wt = full.view(-1, 2, 1, 1)
+    conv = F.conv2d(xt, wt, groups=N * C // 2).view(N, C, 4, 4)
+    bn = params["darknet"][0]["bn"]
+    ref = F.batch_norm(
+        conv,
+        torch.from_numpy(np.asarray(bn["mean"])).clone(),
+        torch.from_numpy(np.asarray(bn["var"])).clone(),
+        torch.from_numpy(np.asarray(bn["gamma"])),
+        torch.from_numpy(np.asarray(bn["beta"])),
+        training=False, momentum=0.1, eps=1e-5,
+    )
+    ref = F.leaky_relu(ref, 0.1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(y1).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5
+    )
