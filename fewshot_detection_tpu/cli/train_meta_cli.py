@@ -31,16 +31,30 @@ from ..utils.profiling import StepTimer, trace
 from .common import ensure_backup_dir, replica_layout, resolve_configs
 
 
-def make_episode_batch(imgs, labels, metax, mask, n_groups, neg_ratio, rng):
+def compute_dtype() -> str:
+    """Training compute dtype name: FSD_DTYPE=bfloat16 casts image inputs
+    (BN statistics and loss math stay fp32 regardless — ops/layers.py)."""
+    return os.environ.get("FSD_DTYPE", "float32")
+
+
+def make_episode_batch(imgs, labels, metax, mask, n_groups, neg_ratio, rng,
+                       dtype: str = "float32"):
     """Stack host arrays into the trainer's (R, ...) layout."""
+    import jax.numpy as jnp
+
+    jdt = getattr(jnp, dtype)
     B = imgs.shape[0]
     n_cls = labels.shape[1]
     b = B // n_groups
     keep = sample_neg_keep(labels.reshape(B * n_cls, -1), neg_ratio, rng)
     return {
-        "x": imgs.reshape(n_groups, b, *imgs.shape[1:]),
-        "metax": metax.reshape(n_groups, n_cls, *metax.shape[1:]),
-        "mask": mask.reshape(n_groups, n_cls, *mask.shape[1:]),
+        "x": jnp.asarray(imgs.reshape(n_groups, b, *imgs.shape[1:]), jdt),
+        "metax": jnp.asarray(
+            metax.reshape(n_groups, n_cls, *metax.shape[1:]), jdt
+        ),
+        "mask": jnp.asarray(
+            mask.reshape(n_groups, n_cls, *mask.shape[1:]), jdt
+        ),
         "target": labels.reshape(n_groups, b, n_cls, 50, 5),
         "keep": keep.reshape(n_groups, b * n_cls),
     }
@@ -183,7 +197,7 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                 with timer.phase("step"):
                     batch = make_episode_batch(
                         imgs, labels, metax, mask, n_groups,
-                        settings.neg_ratio, nprng,
+                        settings.neg_ratio, nprng, dtype=compute_dtype(),
                     )
                     if mesh is not None:
                         from ..parallel import shard_batch

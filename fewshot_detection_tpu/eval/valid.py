@@ -160,6 +160,19 @@ def run_valid_ensemble(
     print("===> Generating dynamic weights...")
     codes, _ = ensemble_class_codes(m, metaset)
 
+    save_rw = os.environ.get("FSD_SAVE_RW")
+    if save_rw:
+        # persist ensemble class codes for later use_baserw splicing (the
+        # reference generated these pickles from a commented-out block,
+        # valid_ensemble.py:102-106); stored NHWC (n, 1, 1, C) — the loader
+        # below also accepts the reference's torch NCHW layout
+        import pickle
+
+        os.makedirs(os.path.dirname(save_rw) or ".", exist_ok=True)
+        with open(save_rw, "wb") as fh:
+            pickle.dump([np.asarray(c, np.float32) for c in codes], fh)
+        print(f"===> Saved class codes to {save_rw}")
+
     if use_baserw:
         import pickle
 
