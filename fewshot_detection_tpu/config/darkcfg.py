@@ -163,11 +163,17 @@ def propagate_shapes(
                 w, h, c = src.width, src.height, src.filters
             elif len(layers) == 2:
                 a, b = shapes[layers[0]], shapes[layers[1]]
-                if (a.width, a.height) != (b.width, b.height):
-                    raise ValueError(
-                        f"route at layer {ind}: spatial mismatch {a} vs {b}"
-                    )
-                w, h, c = a.width, a.height, a.filters + b.filters
+                if int(block.get("concat", "1")) == 0:
+                    # tuple route (darknet_meta.py:166-168): nothing is
+                    # concatenated, so no spatial constraint; the first
+                    # element is the feature map that flows onward
+                    w, h, c = a.width, a.height, a.filters
+                else:
+                    if (a.width, a.height) != (b.width, b.height):
+                        raise ValueError(
+                            f"route at layer {ind}: spatial mismatch {a} vs {b}"
+                        )
+                    w, h, c = a.width, a.height, a.filters + b.filters
             else:
                 raise ValueError("route supports 1 or 2 source layers")
             push("route")

@@ -230,12 +230,19 @@ def detect_forward(
     """Backbone + dynamic reweighting + head.
 
     x: (B, H, W, 3); dynamic_weights: list of (n_cls, kh, kw, Cd).
-    Returns ((B*n_cls, H/32, W/32, A*(5+nC)), aux)."""
+    Returns ((B*n_cls, H/32, W/32, A*(5+nC)), aux).
+
+    Tuple routes (``concat=0``, darknet_meta.py:166-168) emit ``(x1, x2)``
+    unchanged; a downstream dynamic conv consumes the pair as
+    (input, dynamic_weight) — the in-graph counterpart of meta_forward's
+    collected weight list. (The reference stores the tuple but its
+    interpreter re-wraps dynamic inputs, so no consumer actually runs
+    there; this completes the cfg language with the one coherent reading.)
+    """
     dparams = params["darknet"]
     layers = spec.darknet.layers
     outputs: dict[int, jax.Array] = {}
     bn_updates: dict[int, dict] = {}
-    n_cls = dynamic_weights[0].shape[0]
 
     from ..ops.layers import (
         global_avgpool,
@@ -246,6 +253,7 @@ def detect_forward(
     )
 
     dyn_cnt = 0
+    dw_cursor = 0
     skip_next = False
     for li, layer in enumerate(layers):
         if skip_next:
@@ -255,8 +263,16 @@ def detect_forward(
         kind = layer.kind
         if kind == "conv":
             if layer.dynamic:
+                if isinstance(x, tuple):
+                    # tuple route output (concat=0, darknet_meta.py:166-168):
+                    # the second element IS the dynamic weight, supplied
+                    # in-graph instead of from meta_forward's list
+                    x, dw_in = x
+                else:
+                    dw_in = dynamic_weights[dw_cursor]
+                    dw_cursor += 1
                 dw = _full_dynamic_weight(
-                    layer, dparams[layer.index], dynamic_weights[dyn_cnt], n_cls
+                    layer, dparams[layer.index], dw_in, dw_in.shape[0]
                 )
                 is_first = dyn_cnt == 0
                 nxt = layers[li + 1] if li + 1 < len(layers) else None
@@ -293,9 +309,12 @@ def detect_forward(
             else:
                 a, b = (outputs[s] for s in layer.sources)
                 if not layer.concat:
-                    raise NotImplementedError(
-                        "tuple (concat=0) routes are not used by shipped cfgs"
-                    )
+                    # tuple passthrough, no broadcast (darknet_meta.py:166-168);
+                    # consumed by a downstream dynamic conv as
+                    # (input, dynamic_weight)
+                    x = (a, b)
+                    outputs[layer.index] = x
+                    continue
                 # class-broadcast the smaller batch (maybe_repeat semantics)
                 if a.shape[0] != b.shape[0]:
                     if a.shape[0] < b.shape[0]:

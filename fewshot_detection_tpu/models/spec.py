@@ -196,7 +196,13 @@ def build_spec(blocks: list[dict[str, str]]) -> NetSpec:
             if len(srcs) == 1:
                 prev_c = out_c[srcs[0]]
             elif len(srcs) == 2:
-                prev_c = out_c[srcs[0]] + out_c[srcs[1]]
+                # tuple (concat=0) routes carry the first source's feature
+                # map onward; concat routes sum channels
+                prev_c = (
+                    out_c[srcs[0]] + out_c[srcs[1]]
+                    if concat
+                    else out_c[srcs[0]]
+                )
             else:
                 raise ValueError("route supports 1 or 2 sources")
             layers.append(

@@ -168,3 +168,76 @@ def test_meta_forward_train_bn_updates():
         1 for l in spec.learnet.layers if l.kind == "conv" and l.batch_normalize
     )
     assert len(aux["bn_updates"]["learnet"]) == n_bn
+
+
+TUPLE_ROUTE_CFG = """
+[net]
+batch=1
+width=16
+height=16
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=8
+size=1
+stride=1
+pad=0
+activation=linear
+
+[globalmax]
+
+[route]
+layers=-3,-1
+concat=0
+
+[convolutional]
+dynamic=1
+filters=8
+size=1
+stride=1
+pad=0
+activation=linear
+"""
+
+
+def test_tuple_route_feeds_dynamic_conv():
+    """concat=0 routes (darknet_meta.py:166-168) carry (x1, x2) tuples; a
+    downstream dynamic conv consumes the pair as (input, dynamic_weight).
+    Here the weight branch is in-graph (conv -> globalmax), so
+    detect_forward needs no external dynamic_weights at all."""
+    import jax.numpy as jnp
+
+    from fewshot_detection_tpu.config.darkcfg import parse_cfg_text
+    from fewshot_detection_tpu.models.darknet import apply_network, init_params
+
+    blocks = parse_cfg_text(TUPLE_ROUTE_CFG)
+    dspec = build_spec(blocks)
+    route = dspec.layers[3]
+    assert route.kind == "route" and not route.concat
+    assert route.out_channels == 8  # first source's channels, not the sum
+
+    spec = MetaSpec(dspec, build_spec(parse_cfg("cfg/reweighting_net.cfg")))
+    params = {
+        "darknet": init_params(dspec, 0),
+        "learnet": None,  # unused: all dynamic weights are in-graph
+    }
+    rng = np.random.RandomState(0)
+    B = 2
+    x = jnp.asarray(rng.randn(B, 16, 16, 3).astype(np.float32))
+    y, _ = detect_forward(spec, params, x, [], fuse=False)
+
+    # oracle: run the static prefix, then the reference dynamic-conv math
+    # with the route's second element as the weight (n_cls = its batch B)
+    feats, _ = apply_network(dspec, params["darknet"], x, stop=1)
+    w_branch, _ = apply_network(dspec, params["darknet"], feats, start=1, stop=3)
+    assert w_branch.shape == (B, 1, 1, 8)
+    ref = dynamic_conv_general(feats, w_branch, dspec.layers[4], is_first=True)
+    assert y.shape == (B * B, 16, 16, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6)
