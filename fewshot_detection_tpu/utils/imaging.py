@@ -48,6 +48,36 @@ def _class_color(cls_id: int, n_classes: int) -> tuple[int, int, int]:
     return tuple(int(v * 255) for v in rgb[::-1])
 
 
+def plot_boxes_cv2(img, boxes, savename=None, class_names=None, color=None):
+    """Draw reference-format boxes on a cv2 image (numpy HWC, BGR) —
+    utils.py:293-333. The reference passes RGB-ordered color tuples to cv2
+    calls on a BGR image, so saved class colors come out channel-swapped;
+    that quirk is part of the contract and reproduced here."""
+    import cv2
+
+    width, height = img.shape[1], img.shape[0]
+    for box in boxes:
+        x1 = int(round((box[0] - box[2] / 2.0) * width))
+        y1 = int(round((box[1] - box[3] / 2.0) * height))
+        x2 = int(round((box[0] + box[2] / 2.0) * width))
+        y2 = int(round((box[1] + box[3] / 2.0) * height))
+        rgb = color if color else (255, 0, 0)
+        if len(box) >= 7 and class_names:
+            cls_id = int(box[6])
+            print(f"{class_names[cls_id]}: {float(box[5]):f}")
+            if color is None:
+                rgb = _class_color(cls_id, len(class_names))
+            img = cv2.putText(
+                img, class_names[cls_id], (x1, y1),
+                cv2.FONT_HERSHEY_SIMPLEX, 1.2, rgb, 1,
+            )
+        img = cv2.rectangle(img, (x1, y1), (x2, y2), rgb, 1)
+    if savename:
+        print(f"save plot results to {savename}")
+        cv2.imwrite(savename, img)
+    return img
+
+
 def plot_boxes(
     img: Image.Image,
     boxes,
