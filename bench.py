@@ -3,11 +3,13 @@
 Matches the reference's hot loop (train_meta.py:201-225): the reference's
 FULL global batch (64 detection images at 416x416, cfg/darknet_dynamic.cfg:3,
 spread over 4 GPUs there) with a 15-class support set, on ONE chip. Compute
-in bfloat16 with fp32 accumulation/params; rematerialization keeps the step
+in bfloat16 with fp32 accumulation/params; rematerialization (conv outputs,
+matmuls, and BN batch stats saved; epilogues recomputed) keeps the step
 inside 16 GB HBM (the step is HBM-bandwidth-bound, so large batch + remat
 beats small batch + full activations). Measured scaling on v5e-1:
-b16 329 / b32 408 / b64+remat 546 / b128+remat 757 / b256+remat 820 img/s;
-the bench runs b128 (2x the reference's full global batch per chip).
+b16 329 / b32 408 / b64+remat 546 / b128+remat 786 / b256+remat 836 /
+b384+remat 861 img/s (b448 OOMs); the bench runs b384 (6x the reference's
+full global batch per chip) and falls back for smaller-memory chips.
 
 `vs_baseline` is measured against REF_IMG_PER_SEC_PER_GPU, an estimate of
 the PyTorch-0.3 reference's per-GPU throughput (the repo publishes no
@@ -23,7 +25,7 @@ import numpy as np
 
 REF_IMG_PER_SEC_PER_GPU = 30.0  # estimated torch-0.3 per-GPU fwd+bwd rate
 
-BATCH = 128
+BATCH = 384
 N_CLS = 15
 SIZE = 416
 WARMUP = 3
@@ -82,7 +84,15 @@ def _run(batch_size: int) -> float:
 
 def _is_oom(e: Exception) -> bool:
     msg = str(e)
-    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "OOM" in msg
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Out of memory" in msg
+        or "OOM" in msg
+        # allocation failures can also surface as compile-service errors
+        # (observed for over-memory batches through the TPU tunnel)
+        or "tpu_compile_helper" in msg
+        or "ran out of memory" in msg.lower()
+    )
 
 
 def main():
@@ -91,7 +101,7 @@ def main():
 
     img_per_sec = None
     used_batch = None
-    for b in (BATCH, 64, 16):  # fall back on smaller-memory chips
+    for b in (BATCH, 128, 64, 16):  # fall back on smaller-memory chips
         try:
             img_per_sec = _run(b)
             used_batch = b

@@ -32,17 +32,32 @@ def _setup(cfgfile, weightfile):
 
 def _do_detect(m, sized01, imgfile):
     """Two timed passes (second measures cached-executable latency),
-    matching do_detect's conf/nms 0.5/0.4 (utils.py:410-458)."""
+    matching do_detect's conf/nms 0.5/0.4 (utils.py:410-458).
+
+    FSD_DEVICE_NMS=1 routes through the jitted fixed-buffer device pipeline
+    (decode -> top-k -> on-device NMS, eval/device_pipeline.py) instead of
+    the host decode loop — same boxes, one small D2H copy."""
+    import os
+
     from fewshot_detection_tpu.ops.boxes import get_region_boxes, nms
+
+    pipe = None
+    if os.environ.get("FSD_DEVICE_NMS") == "1":
+        from fewshot_detection_tpu.eval.device_pipeline import DevicePipeline
+
+        pipe = DevicePipeline(m.region, conf_thresh=0.5, nms_thresh=0.4)
 
     boxes = None
     for i in range(2):
         start = time.time()
         output = m(sized01[None])
-        all_boxes = get_region_boxes(
-            output, 0.5, m.region.num_classes, m.region.anchor_wh
-        )
-        boxes = nms(all_boxes[0], 0.4)
+        if pipe is not None:
+            boxes = pipe(output)[0]
+        else:
+            all_boxes = get_region_boxes(
+                output, 0.5, m.region.num_classes, m.region.anchor_wh
+            )
+            boxes = nms(all_boxes[0], 0.4)
         finish = time.time()
         if i == 1:
             print(f"{imgfile}: Predicted in {finish - start:f} seconds.")

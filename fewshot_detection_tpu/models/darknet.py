@@ -29,6 +29,7 @@ from ..ops.layers import (
     maxpool,
     maxpool_stride1,
     reorg,
+    stem_s2d_conv_pool,
 )
 from .spec import LayerSpec, NetSpec
 
@@ -165,6 +166,32 @@ def init_params(spec: NetSpec, rng: jax.Array | int = 0) -> Params:
     return params
 
 
+def can_fuse_s2d_stem(spec: NetSpec) -> bool:
+    """True when layers 0-1 are the conv3x3(s1,p1)+maxpool(2,2) pattern the
+    space-to-depth stem rewrite handles, and nothing routes back into them
+    (the full-resolution conv output is never materialized)."""
+    if len(spec.layers) < 2:
+        return False
+    c0, p1 = spec.layers[0], spec.layers[1]
+    ok = (
+        c0.kind == "conv"
+        and not c0.dynamic
+        and c0.size == 3
+        and c0.stride == 1
+        and c0.pad == 1
+        and c0.groups == 1
+        and c0.activation in ("leaky", "relu", "linear")
+        and p1.kind == "maxpool"
+        and p1.size == 2
+        and p1.stride == 2
+    )
+    if not ok:
+        return False
+    return not any(
+        s in (0, 1) for l in spec.layers[2:] for s in l.sources
+    )
+
+
 def apply_network(
     spec: NetSpec,
     params: Params,
@@ -173,6 +200,7 @@ def apply_network(
     train: bool = False,
     start: int = 0,
     stop: int | None = None,
+    s2d_stem: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Run a static network. Returns (output, aux) where aux carries
     ``bn_updates`` ({layer_index: new stats} when train=True) and
@@ -181,11 +209,28 @@ def apply_network(
 
     ``start``/``stop`` run a sub-range of layers (used for feat_layer>0
     learnet stems and partial-backbone extraction).
+
+    ``s2d_stem=True`` computes an eligible conv+pool stem (see
+    can_fuse_s2d_stem) in space-to-depth form — exact same math, but the
+    full-resolution stem activation never touches HBM (see
+    ops.layers.stem_s2d_conv_pool).
     """
     outputs: dict[int, jax.Array] = {}
     bn_updates: dict[int, dict] = {}
     splits: list[jax.Array] = []
-    layers = spec.layers[start : stop if stop is not None else len(spec.layers)]
+    end = stop if stop is not None else len(spec.layers)
+    layers = spec.layers[start:end]
+
+    if s2d_stem and start == 0 and end >= 2 and can_fuse_s2d_stem(spec):
+        c0 = spec.layers[0]
+        p = params[0]
+        x, stats = stem_s2d_conv_pool(
+            x, p["w"], p.get("bn"), c0.activation, p.get("b"), train
+        )
+        if stats is not None:
+            bn_updates[0] = stats
+        outputs[1] = x
+        layers = layers[2:]
 
     for layer in layers:
         kind = layer.kind

@@ -69,6 +69,7 @@ def meta_forward(
     *,
     metain_type: int = 2,
     train: bool = False,
+    s2d: bool = False,
 ) -> tuple[list[jax.Array], dict[str, Any]]:
     """Support branch: (N, Hm, Wm, 3|6) images + (N, Hmask, Wmask, 1) masks
     -> list of per-class code tensors (N, 1, 1, C) (one per learnet [split]
@@ -84,7 +85,8 @@ def meta_forward(
         if done_split:
             metax = jnp.concatenate([metax[..., :3], metax[..., 3:]], axis=0)
         metax, aux = apply_network(
-            spec.darknet, params["darknet"], metax, train=train, stop=feat_layer
+            spec.darknet, params["darknet"], metax, train=train,
+            stop=feat_layer, s2d_stem=s2d,
         )
         bn_updates["darknet_stem"] = aux["bn_updates"]
         if done_split:
@@ -95,7 +97,9 @@ def meta_forward(
             raise ValueError(f"metain_type {metain_type} requires a mask input")
         metax = jnp.concatenate([metax, mask.astype(metax.dtype)], axis=-1)
 
-    out, aux = apply_network(spec.learnet, params["learnet"], metax, train=train)
+    out, aux = apply_network(
+        spec.learnet, params["learnet"], metax, train=train, s2d_stem=s2d
+    )
     bn_updates["learnet"] = aux["bn_updates"]
     dynamic_weights = list(aux["splits"]) + [out]
     return dynamic_weights, {"bn_updates": bn_updates}
@@ -226,6 +230,7 @@ def detect_forward(
     *,
     train: bool = False,
     fuse: bool = True,
+    s2d: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Backbone + dynamic reweighting + head.
 
@@ -250,12 +255,28 @@ def detect_forward(
         maxpool,
         maxpool_stride1,
         reorg,
+        stem_s2d_conv_pool,
     )
+    from .darknet import can_fuse_s2d_stem
+
+    start_li = 0
+    if s2d and can_fuse_s2d_stem(spec.darknet):
+        c0 = layers[0]
+        p0 = dparams[0]
+        x, stats = stem_s2d_conv_pool(
+            x, p0["w"], p0.get("bn"), c0.activation, p0.get("b"), train
+        )
+        if stats is not None:
+            bn_updates[0] = stats
+        outputs[1] = x
+        start_li = 2
 
     dyn_cnt = 0
     dw_cursor = 0
     skip_next = False
     for li, layer in enumerate(layers):
+        if li < start_li:
+            continue
         if skip_next:
             skip_next = False
             outputs[layer.index] = x
@@ -350,13 +371,15 @@ def forward(
     metain_type: int = 2,
     train: bool = False,
     fuse: bool = True,
+    s2d: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Full episodic forward (darknet_meta.py:197-201)."""
     dynamic_weights, maux = meta_forward(
-        spec, params, metax, mask, metain_type=metain_type, train=train
+        spec, params, metax, mask, metain_type=metain_type, train=train,
+        s2d=s2d,
     )
     y, daux = detect_forward(
-        spec, params, x, dynamic_weights, train=train, fuse=fuse
+        spec, params, x, dynamic_weights, train=train, fuse=fuse, s2d=s2d
     )
     return y, {
         "bn_updates": {

@@ -39,8 +39,10 @@ def reorg(x: jax.Array, stride: int = 2) -> jax.Array:
 def maxpool(x: jax.Array, size: int, stride: int) -> jax.Array:
     """Standard max pooling, floor semantics (torch MaxPool2d default)."""
     b, h, w, c = x.shape
-    # torch floors the output size; reduce_window with VALID padding matches
-    # only when (h - size) % stride == 0 — trim the remainder explicitly.
+    # Measured and rejected: a reshape+reduce_max formulation for the
+    # non-overlapping 2x2/s2 case (elementwise backward instead of
+    # select_and_scatter) costs ~10% end-to-end on v5e — XLA fuses the
+    # reduce_window chain better than the 6-D reshaped reduce. See PERF.md.
     oh = (h - size) // stride + 1
     ow = (w - size) // stride + 1
     x = x[:, : (oh - 1) * stride + size, : (ow - 1) * stride + size, :]
@@ -82,6 +84,110 @@ def global_avgpool(x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# space-to-depth stem (exact rewrite of conv3x3s1 [+BN+act] + maxpool2x2s2)
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth(x: jax.Array, s: int = 2) -> jax.Array:
+    """(B, H, W, C) -> (B, H/s, W/s, s*s*C), channel layout (v*s+u)*C + c
+    for pixel offset (v, u) inside each s x s block."""
+    b, h, w, c = x.shape
+    if h % s or w % s:
+        raise ValueError(f"space_to_depth: dims {(h, w)} not divisible by {s}")
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
+def _s2d_selector() -> "np.ndarray":
+    """Constant T[R,S,pi,po,a,b] mapping original 3x3 tap (a,b) of weight W
+    into the (R,S) tap of the space-to-depth conv, for input phase pi=(vi,ui)
+    and output phase po=(v,u). Derivation: output row 2i+v reads input row
+    2i+v+dr (dr=a-1); the s2d tap (i+R-1, phase vi) holds input row
+    2(i+R-1)+vi, so dr = 2R-2+vi-v (and likewise for columns)."""
+    import numpy as np
+
+    t = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for R in range(3):
+        for S in range(3):
+            for vi in range(2):
+                for ui in range(2):
+                    for v in range(2):
+                        for u in range(2):
+                            dr = 2 * R - 2 + vi - v
+                            ds = 2 * S - 2 + ui - u
+                            if -1 <= dr <= 1 and -1 <= ds <= 1:
+                                t[R, S, vi * 2 + ui, v * 2 + u, dr + 1, ds + 1] = 1.0
+    return t
+
+
+_S2D_T = None
+
+
+def s2d_stem_weight(w: jax.Array) -> jax.Array:
+    """Lift a (3, 3, C, K) stride-1 conv weight to the equivalent
+    (3, 3, 4C, 4K) weight on space-to-depth(2) input, where output channel
+    block po holds the conv result at pixel phase po of the original grid.
+    Pure linear reindexing (einsum with a constant 0/1 tensor), so gradients
+    flow back to the original weight."""
+    global _S2D_T
+    if _S2D_T is None:
+        _S2D_T = _s2d_selector()
+    kh, kw, c, k = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError("s2d stem expects a 3x3 kernel")
+    t = jnp.asarray(_S2D_T, w.dtype)
+    ws = jnp.einsum("RSpqab,abck->RSpcqk", t, w)
+    return ws.reshape(3, 3, 4 * c, 4 * k)
+
+
+def stem_s2d_conv_pool(
+    x: jax.Array,
+    w: jax.Array,
+    bn: dict | None,
+    activation: str,
+    bias: jax.Array | None,
+    train: bool,
+) -> tuple[jax.Array, dict | None]:
+    """conv3x3(s1,p1)+[BN]+[act]+maxpool(2,2), computed without ever
+    materializing the full-resolution conv output.
+
+    The classic TPU stem trick (low-channel 3x3 convs waste the 128-lane
+    MXU and their full-res activations dominate HBM traffic): run the conv
+    on space-to-depth input producing all four pool-window phases as
+    channel blocks, apply BN/activation per original channel with the phase
+    axis folded into the statistics reduction (bit-equal population), and
+    take the pool max across the phase axis — a cheap channel reduce that
+    XLA fuses with the normalize pass. Exact (same math, reassociated).
+    """
+    b, h, wd, c = x.shape
+    k = w.shape[-1]
+    xs = space_to_depth(x, 2)
+    ws = s2d_stem_weight(w)
+    y = jax.lax.conv_general_dilated(
+        xs,
+        ws.astype(xs.dtype),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y.reshape(b, h // 2, wd // 2, 4, k)
+    new_stats = None
+    if bn is not None:
+        if train:
+            y, new_stats = batchnorm_train(y, bn)
+        else:
+            y = batchnorm_apply(y, bn)
+    elif bias is not None:
+        y = y + bias.astype(y.dtype)
+    if activation == "leaky":
+        y = leaky_relu(y, 0.1)
+    elif activation == "relu":
+        y = jax.nn.relu(y)
+    return jnp.max(y, axis=3), new_stats
+
+
+# ---------------------------------------------------------------------------
 # BatchNorm (torch semantics: the reference trained with nn.BatchNorm2d)
 # ---------------------------------------------------------------------------
 
@@ -102,13 +208,24 @@ def batchnorm_train(x: jax.Array, bn: dict) -> tuple[jax.Array, dict]:
     deliberate improvement over the reference's per-GPU unsynced
     DataParallel stats (SURVEY.md §7 "Stateful BN under DP").
     """
+    from jax.ad_checkpoint import checkpoint_name
+
+    from .bn_pallas import bn_sums
+
     reduce_axes = tuple(range(x.ndim - 1))
     n = 1
     for a in reduce_axes:
         n *= x.shape[a]
-    xf = x.astype(jnp.float32)  # stats in fp32 even for bf16 activations
-    mean = jnp.mean(xf, axis=reduce_axes)
-    var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+    # single-pass fused sum/sum-sq (fp32 accumulation; Pallas kernel on TPU
+    # — XLA's convert+reduce ran at ~22% of HBM bandwidth, see PERF.md)
+    s, q = bn_sums(x)
+    mean = s / n
+    var = q / n - jnp.square(mean)
+    # tag the (tiny) batch stats as remat-saveable: recomputing them in the
+    # backward re-reads the full conv activation — one whole HBM pass per
+    # BN layer the profiler showed we were paying for nothing
+    mean = checkpoint_name(mean, "bn_stats")
+    var = checkpoint_name(var, "bn_stats")
     inv = jax.lax.rsqrt(var + BN_EPS) * bn["gamma"]
     bias = bn["beta"] - mean * inv
     y = x * inv.astype(x.dtype) + bias.astype(x.dtype)

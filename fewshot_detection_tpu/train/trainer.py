@@ -85,6 +85,7 @@ class MetaTrainer:
         fuse: bool = True,
         donate: bool = True,
         remat: bool = False,
+        s2d: bool = False,
     ):
         self.spec = spec
         self.region = spec.region
@@ -92,6 +93,9 @@ class MetaTrainer:
         self.weight_decay = weight_decay
         self.metain_type = metain_type
         self.fuse = fuse
+        # space-to-depth stem: exact conv+pool rewrite that keeps the
+        # full-res stem activation out of HBM (ops.layers.stem_s2d_conv_pool)
+        self.s2d = s2d
         # The step is HBM-bandwidth-bound (XLA cost analysis: ~700 GB/s on
         # v5e at 18% MXU util), so rematerializing everything EXCEPT conv/
         # matmul outputs trades cheap recompute for activation traffic.
@@ -104,16 +108,21 @@ class MetaTrainer:
         return meta_mod.forward(
             self.spec, params, x, metax, mask,
             metain_type=self.metain_type, train=True, fuse=self.fuse,
+            s2d=self.s2d,
         )
 
     def _episode_loss(self, params, x, metax, mask, target, keep, seen):
         n_cls = metax.shape[0]
         fwd = self._forward
         if self.remat:
-            # save conv outputs (tagged in apply_conv_layer) and matmul
-            # results; recompute BN/activation epilogues in the backward
+            # save conv outputs (tagged in apply_conv_layer), BN batch stats
+            # (tiny, but recomputing them re-reads the whole conv activation)
+            # and matmul results; recompute the cheap normalize/activation
+            # epilogues in the backward
             policy = jax.checkpoint_policies.save_from_both_policies(
-                jax.checkpoint_policies.save_only_these_names("conv_out"),
+                jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"
+                ),
                 jax.checkpoint_policies.dots_saveable,
             )
             fwd = jax.checkpoint(fwd, policy=policy)
@@ -195,18 +204,22 @@ class PlainTrainer:
         weight_decay: float = 0.0,
         zero_tcls: bool = False,
         donate: bool = True,
+        s2d: bool = False,
     ):
         self.spec = spec
         self.region = spec.region
         self.momentum = momentum
         self.weight_decay = weight_decay
         self.zero_tcls = zero_tcls
+        self.s2d = s2d
         self._step = jax.jit(
             self._step_impl, donate_argnums=(0, 1) if donate else ()
         )
 
     def _episode_loss(self, params, x, target, keep, seen):
-        y, aux = apply_network(self.spec, params, x, train=True)
+        y, aux = apply_network(
+            self.spec, params, x, train=True, s2d_stem=self.s2d
+        )
         loss, metrics = region_loss(
             y, target, keep, seen, self.region, zero_tcls=self.zero_tcls
         )
