@@ -164,10 +164,17 @@ class MetaTrainer:
              meta_channels: int = 3, shard_fn=None):
         """Pre-compile one executable per multi-scale bucket (SURVEY.md §7:
         'warm all buckets at startup') so scale switches never stall the
-        training loop. Geometry AND shardings must match the real step:
-        meta_channels is the raw support-image channel count (3, or 6 for
-        cropped-object metain types), and `shard_fn` must be the same
-        batch-sharding function the loop uses (pjit keys its cache on input
+        training loop.
+
+        Implementation note: `jit.lower().compile()` does NOT populate the
+        jit call cache (verified: `_cache_size()` stays 0), so warming must
+        execute real dummy steps. Throwaway zero params/momentum are used
+        (zeros_like preserves the real trees' shardings) and chained once so
+        the steady-state placement — step outputs fed back as inputs — is
+        what lands in the cache. Geometry AND shardings must match the real
+        loop: meta_channels is the raw support-image channel count (3, or 6
+        for cropped-object metain types) and `shard_fn` must be the same
+        batch-sharding function the loop uses (the cache keys on input
         shardings, so unsharded dummies would warm nothing on a mesh)."""
         sizes = sizes or tuple(range(320, 609, 32))
         b = batch_size // n_groups
@@ -183,11 +190,12 @@ class MetaTrainer:
             }
             if shard_fn is not None:
                 batch = shard_fn(batch)
-            self._step.lower(
-                params, mom, batch["x"], batch["metax"], batch["mask"],
-                batch["target"], batch["keep"],
-                jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
-            ).compile()
+            # fresh throwaway trees per size: donation consumes them
+            p, m = jax.tree_util.tree_map(jnp.zeros_like, (params, mom))
+            # two chained steps: the first may see host-resident inputs,
+            # the second caches the steady-state device-output placement
+            p, m, _ = self.step(p, m, batch, seen=0, lr=0.0)
+            self.step(p, m, batch, seen=0, lr=0.0)
 
 
 class PlainTrainer:
