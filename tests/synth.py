@@ -142,3 +142,70 @@ def make_devkit(root, img_paths, size):
                 for imgid, flag in rows:
                     f.write(f"{imgid} {flag}\n")
     return devkit
+
+
+def load_coco_names():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "data/coco.names")) as f:
+        return [l.strip() for l in f if l.strip()]
+
+
+def make_coco_like(root, class_ids, size=(64, 48), seed=0, n_train=8):
+    """Synthetic COCO-layout tree: images/train2014 + labels/train2014 +
+    labels_1c/train2014/<class>/ (the path grammar of dataset.py:479-488 and
+    coco/process_data.py in the reference). One image per class id in
+    `class_ids`; returns dict with train list (first n_train images),
+    valid list, and the class->list dict file covering every class."""
+    names = load_coco_names()
+    nprng = np.random.RandomState(seed)
+    rng = random.Random(seed)
+    img_dir = os.path.join(root, "images", "train2014")
+    lab_dir = os.path.join(root, "labels", "train2014")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+    cls_colors = (nprng.rand(len(names), 3) * 155 + 100).astype(np.uint8)
+
+    img_paths = []
+    cls_lists = {}
+    for i, cid in enumerate(class_ids):
+        w, h = size
+        arr = nprng.randint(0, 60, (h, w, 3), np.uint8)
+        name = f"COCO_train2014_{i:012d}"
+        path = os.path.join(img_dir, name + ".png")
+        img_paths.append(path)
+        cx, cy = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7)
+        bw, bh = rng.uniform(0.2, 0.4), rng.uniform(0.2, 0.4)
+        x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+        x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+        arr[max(0, y1):y2, max(0, x1):x2] = cls_colors[cid]
+        Image.fromarray(arr).save(path)
+        row = "%d %.6f %.6f %.6f %.6f\n" % (cid, cx, cy, bw, bh)
+        with open(os.path.join(lab_dir, name + ".txt"), "w") as f:
+            f.write(row)
+        cname = names[cid]
+        d1c = os.path.join(root, "labels_1c", "train2014", cname)
+        os.makedirs(d1c, exist_ok=True)
+        with open(os.path.join(d1c, name + ".txt"), "w") as f:
+            f.write(row)
+        lst = os.path.join(root, f"coco_{cname.replace(' ', '_')}_train.txt")
+        with open(lst, "a") as f:
+            f.write(path + "\n")
+        cls_lists[cname] = lst
+
+    train_list = os.path.join(root, "train.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(img_paths[:n_train]) + "\n")
+    valid_list = os.path.join(root, "valid.txt")
+    with open(valid_list, "w") as f:
+        f.write("\n".join(img_paths[:4]) + "\n")
+    traindict = os.path.join(root, "traindict.txt")
+    with open(traindict, "w") as f:
+        for cname, lst in cls_lists.items():
+            f.write(f"{cname} {lst}\n")
+    return {
+        "root": root,
+        "train_list": train_list,
+        "valid_list": valid_list,
+        "traindict": traindict,
+        "img_paths": img_paths,
+    }
