@@ -317,10 +317,21 @@ class MetaDataset:
         # native decode+augment applies to plain RGB support inputs; the
         # metain 3/4 cropped-object channels need the PIL image around
         self.native = _native_pipe() if s.metain_type in (1, 2) else None
-        if ensemble:
+        # ensemble filtering is LAZY: the reference ran a full filter()
+        # decode prepass and then decoded every kept image AGAIN during the
+        # sweep (dataset.py:447-457 — thousands of redundant decodes per
+        # checkpoint on real VOC). batches() streams with on-the-fly
+        # validity instead (one decode per image); the eager prepass only
+        # happens if someone indexes/len()s the dataset.
+        self._needs_filter = ensemble
+
+    def _ensure_filtered(self) -> None:
+        if self._needs_filter:
             self.inds = self._filter(self.inds)
+            self._needs_filter = False
 
     def __len__(self) -> int:
+        self._ensure_filtered()
         return len(self.inds)
 
     # -- internals ---------------------------------------------------------
@@ -423,6 +434,7 @@ class MetaDataset:
     # -- public ------------------------------------------------------------
 
     def __getitem__(self, index: int):
+        self._ensure_filtered()
         clsid, metaind = self.inds[index]
         arr, mask = self._get(clsid, metaind)
         if self.with_ids:
@@ -432,6 +444,21 @@ class MetaDataset:
     def batches(self, batch_size: int | None = None):
         """Yield stacked (metax (B,H,W,C), mask (B,h,w,1)[, clsids])."""
         bs = batch_size or self.batch_size
+        if self.ensemble and self._needs_filter:
+            # single-decode stream: validity decided as images are loaded,
+            # exactly the set the eager filter()+re-decode would keep
+            chunk = []
+            for clsid, metaind in self.inds:
+                arr, mask = self._get(clsid, metaind)
+                if arr is None:
+                    continue
+                chunk.append((arr, mask, clsid))
+                if len(chunk) == bs:
+                    yield self._stack(chunk)
+                    chunk = []
+            if chunk:
+                yield self._stack(chunk)
+            return
         for start in range(0, len(self.inds) - (0 if self.ensemble else bs - 1),
                            bs):
             chunk = [self[i] for i in range(start, min(start + bs, len(self.inds)))]
@@ -441,3 +468,10 @@ class MetaDataset:
                 yield arrs, masks, np.asarray([c[2] for c in chunk])
             else:
                 yield arrs, masks
+
+    def _stack(self, chunk):
+        arrs = np.stack([c[0] for c in chunk])
+        masks = np.stack([c[1] for c in chunk])
+        if self.with_ids:
+            return arrs, masks, np.asarray([c[2] for c in chunk])
+        return arrs, masks

@@ -15,6 +15,27 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch nn.BatchNorm2d default, what the reference trained with
 
 
+def bn_train_config() -> tuple[float, bool]:
+    """(running-stat momentum, use-unbiased-variance-in-running-update).
+
+    Default: torch nn.BatchNorm2d semantics — momentum 0.1, unbiased
+    variance in the running update (the reference trained with torch BN;
+    its native extension is commented out at darknet_meta.py:248).
+
+    FSD_BN_DARKNET=1 selects the darknet extension's semantics instead
+    (batchnorm.c:196-203: rolling = .99*rolling + .01*batch_stat with the
+    BIASED batch variance) — for continuing/serving .weights files whose
+    running stats were produced by that extension. The normalization math
+    itself (biased batch stats, eps 1e-5) is identical in both modes. Set
+    the env var before the first train step (it is read at trace time).
+    """
+    import os
+
+    if os.environ.get("FSD_BN_DARKNET") == "1":
+        return 0.01, False
+    return BN_MOMENTUM, True
+
+
 def leaky_relu(x: jax.Array, slope: float = 0.1) -> jax.Array:
     return jnp.where(x >= 0, x, slope * x)
 
@@ -229,9 +250,10 @@ def batchnorm_train(x: jax.Array, bn: dict) -> tuple[jax.Array, dict]:
     inv = jax.lax.rsqrt(var + BN_EPS) * bn["gamma"]
     bias = bn["beta"] - mean * inv
     y = x * inv.astype(x.dtype) + bias.astype(x.dtype)
-    unbiased = var * (n / max(n - 1, 1))
+    momentum, use_unbiased = bn_train_config()
+    running_var = var * (n / max(n - 1, 1)) if use_unbiased else var
     new_stats = {
-        "mean": (1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,
-        "var": (1 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * unbiased,
+        "mean": (1 - momentum) * bn["mean"] + momentum * mean,
+        "var": (1 - momentum) * bn["var"] + momentum * running_var,
     }
     return y, new_stats

@@ -75,3 +75,42 @@ def test_bn_sums_bf16_accumulates_fp32():
     assert s.dtype == q.dtype == jnp.float32
     sr, _ = _sums_reference(jnp.asarray(x16).reshape(-1, 32))
     np.testing.assert_allclose(np.asarray(s), np.asarray(sr), rtol=1e-6)
+
+
+def test_darknet_bn_mode(monkeypatch):
+    """FSD_BN_DARKNET=1: rolling = .99*rolling + .01*biased_batch_var
+    (reference batchnorm.c:196-203); the normalized output is identical to
+    torch mode (both normalize with biased batch stats at eps 1e-5)."""
+    from fewshot_detection_tpu.ops.layers import batchnorm_train
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    bn = {
+        "gamma": jnp.asarray(rng.rand(8).astype(np.float32) + 0.5),
+        "beta": jnp.asarray(rng.randn(8).astype(np.float32)),
+        "mean": jnp.asarray(rng.randn(8).astype(np.float32) * 0.1),
+        "var": jnp.asarray(rng.rand(8).astype(np.float32) + 0.5),
+    }
+    y_torch, st_torch = batchnorm_train(x, bn)
+    monkeypatch.setenv("FSD_BN_DARKNET", "1")
+    y_dark, st_dark = batchnorm_train(x, bn)
+
+    np.testing.assert_allclose(np.asarray(y_dark), np.asarray(y_torch),
+                               rtol=1e-6, atol=1e-6)
+
+    # explicit oracle for the darknet rolling update
+    xf = np.asarray(x, np.float64).reshape(-1, 8)
+    n = xf.shape[0]
+    mean = xf.mean(0)
+    var_biased = ((xf - mean) ** 2).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(st_dark["mean"]),
+        0.99 * np.asarray(bn["mean"]) + 0.01 * mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_dark["var"]),
+        0.99 * np.asarray(bn["var"]) + 0.01 * var_biased, rtol=1e-5, atol=1e-6)
+    # torch mode differs exactly by momentum and the unbiased correction
+    np.testing.assert_allclose(
+        np.asarray(st_torch["var"]),
+        0.9 * np.asarray(bn["var"]) + 0.1 * var_biased * n / (n - 1),
+        rtol=1e-5, atol=1e-6)

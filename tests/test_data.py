@@ -232,3 +232,42 @@ def test_build_fewset_budget(tmp_path):
     for imgpath in fewset:
         bs = np.loadtxt(get_labpath(imgpath.strip())).reshape(-1, 5)
         assert set(bs[:, 0].astype(int)).isdisjoint(set(s.novel_ids))
+
+
+def test_meta_dataset_ensemble_stream_single_decode(voc_dir):
+    """Ensemble batches() must decode each support image ONCE (the reference
+    ran a filter() prepass then re-decoded every kept image,
+    dataset.py:447-457) and yield exactly what the eager filter+index path
+    yields."""
+    s = _settings()
+
+    # streamed path (no len()/indexing -> lazy filter never runs)
+    ds1 = MetaDataset(voc_dir["traindict"], s, train=False, ensemble=True,
+                      with_ids=True, rng=random.Random(0))
+    calls = {"n": 0}
+    orig = MetaDataset._load_support
+
+    def counting(self, clsid, which):
+        calls["n"] += 1
+        return orig(self, clsid, which)
+
+    MetaDataset._load_support = counting
+    try:
+        streamed = list(ds1.batches(4))
+    finally:
+        MetaDataset._load_support = orig
+    n_raw = len(ds1.inds)
+    assert ds1._needs_filter  # lazy filter never forced
+    assert calls["n"] == n_raw  # ONE decode per enumerated support image
+
+    # eager path: len() forces the filter prepass, then batches re-decode
+    ds2 = MetaDataset(voc_dir["traindict"], s, train=False, ensemble=True,
+                      with_ids=True, rng=random.Random(0))
+    assert len(ds2) > 0
+    eager = list(ds2.batches(4))
+
+    assert len(streamed) == len(eager)
+    for (a1, m1, c1), (a2, m2, c2) in zip(streamed, eager):
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(c1, c2)
