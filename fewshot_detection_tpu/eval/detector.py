@@ -50,11 +50,37 @@ class PlainDetector:
             )[0].astype(jnp.float32)
         )
 
+        self._fwd_int8 = None
+
+    def quantize_int8(self, calib_images: np.ndarray) -> None:
+        """Switch serving to the int8 MXU path (models/quant.py): per-channel
+        int8 weights from the folded graph, per-tensor activation scales
+        calibrated on `calib_images` (a representative (N, H, W, 3) [0,1]
+        batch; a few dozen images suffice). Stem + head stay bf16."""
+        from ..models.quant import (
+            apply_network_int8,
+            calibrate_act_scales,
+            quantize_weights,
+        )
+
+        self.qparams = quantize_weights(self.fspec, self.params)
+        self.act_scales = calibrate_act_scales(
+            self.fspec, self.params, np.asarray(calib_images, np.float32)
+        )
+        fspec, scales, dtype = self.fspec, self.act_scales, self.compute_dtype
+        self._fwd_int8 = jax.jit(
+            lambda p, x: apply_network_int8(
+                fspec, p, scales, x.astype(dtype)
+            ).astype(jnp.float32)
+        )
+
     def __call__(self, images: np.ndarray) -> jax.Array:
         """images: (B, H, W, 3) float32 [0,1] -> raw head output.
 
         Stays ON DEVICE: the box decode (ops.boxes) consumes it in place,
         so only the small decoded arrays ever cross to the host."""
+        if self._fwd_int8 is not None:
+            return self._fwd_int8(self.qparams, jnp.asarray(images))
         return self._fwd(self.params, jnp.asarray(images))
 
 
