@@ -38,7 +38,11 @@ class PlainDetector:
         if weightfile:
             (params,), self.header = load_weights(weightfile, [self.spec], [params])
         self.raw_params = params
-        self.params = fold_batchnorm(self.spec, params)
+        # device-commit once (fold leaves BN-less layers as host numpy;
+        # numpy leaves re-upload on every jitted call)
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, fold_batchnorm(self.spec, params)
+        )
         self.fspec = folded_spec(self.spec)
         self.region = self.spec.region
         self.width = self.spec.width
@@ -108,7 +112,11 @@ class MetaDetector:
                 [params["darknet"], params["learnet"]],
             )
             params = {"darknet": dp, "learnet": lp}
-        self.params = params
+        # commit params to device ONCE: load_weights returns host numpy, and
+        # feeding numpy leaves into a jitted call re-uploads the whole model
+        # every invocation (measured 4.3 s/batch through the TPU tunnel vs
+        # 9 ms with device-resident params)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.metain_type = metain_type
         self.region = self.spec.region
         self.width = self.spec.darknet.width
@@ -133,6 +141,49 @@ class MetaDetector:
             )[0].astype(jnp.float32)
         )
 
+        self._detect_int8 = None
+
+    def quantize_int8(self, calib_images: np.ndarray, dynamic_weights) -> None:
+        """int8 MXU serving for the detection sweep (the per-image hot path
+        of valid/ensemble eval): fold BN into the backbone convs, quantize
+        them per-channel, calibrate activation scales on `calib_images`.
+        The class codes do not influence the pre-reweighting activations,
+        so any representative `dynamic_weights` work for calibration. The
+        learnet (runs once per checkpoint) and the dynamic reweight + head
+        stay bf16."""
+        from ..models.darknet import fold_batchnorm, folded_spec
+        from ..models.quant import _is_quantizable, quantize_weights
+
+        dfspec = folded_spec(self.spec.darknet)
+        dfolded = fold_batchnorm(self.spec.darknet, self.params["darknet"])
+        qd = quantize_weights(dfspec, dfolded)
+        qspec = MetaSpec(dfspec, self.spec.learnet)
+
+        absmax: dict[int, float] = {}
+
+        def observe(idx, x):
+            if _is_quantizable(dfspec, dfspec.layers[idx]):
+                m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                absmax[idx] = max(absmax.get(idx, 0.0), m)
+
+        dw = tuple(jnp.asarray(d) for d in dynamic_weights)
+        meta_mod.detect_forward(
+            qspec, {"darknet": dfolded, "learnet": None},
+            jnp.asarray(calib_images, jnp.float32).astype(self.compute_dtype),
+            list(dw), train=False, fuse=True, observe=observe,
+        )
+        scales = {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
+        self.act_scales = scales
+        self.qparams = qd
+        dtype = self.compute_dtype
+        self._detect_int8 = jax.jit(
+            lambda p, x, dws: meta_mod.detect_forward(
+                qspec, {"darknet": p, "learnet": None},
+                x.astype(dtype), [d.astype(dtype) for d in dws],
+                train=False, fuse=True, act_scales=scales,
+            )[0].astype(jnp.float32)
+        )
+
     def class_codes(self, metax: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
         """Support batch -> list of per-class code tensors (N, 1, 1, C).
         Returned as host arrays (they get averaged/spliced on host)."""
@@ -142,6 +193,8 @@ class MetaDetector:
     def detect(self, images: np.ndarray, dynamic_weights) -> jax.Array:
         """Raw head output, left on device for the box decode."""
         dw = tuple(jnp.asarray(d) for d in dynamic_weights)
+        if self._detect_int8 is not None:
+            return self._detect_int8(self.qparams, jnp.asarray(images), dw)
         return self._detect(self.params, jnp.asarray(images), dw)
 
     def __call__(self, images, metax, mask) -> jax.Array:

@@ -189,9 +189,13 @@ def run_valid_ensemble(
                 rw = rw.transpose(0, 2, 3, 1)
             codes[i][tki] = rw[tki]
 
+    import jax.numpy as jnp
+
+    # device-commit the fixed codes once; per-batch host->device conversion
+    # would cost n_cls transfers on every sweep batch
     return _meta_sweep(m, data_options, settings, prefix, outfile,
-                       [c for c in codes], n_cls, metaset.classes,
-                       batch_size)
+                       [jnp.asarray(c) for c in codes], n_cls,
+                       metaset.classes, batch_size)
 
 
 def run_valid_meta(

@@ -231,8 +231,14 @@ def detect_forward(
     train: bool = False,
     fuse: bool = True,
     s2d: bool = False,
+    act_scales: dict[int, float] | None = None,
+    observe=None,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Backbone + dynamic reweighting + head.
+
+    ``act_scales``/``observe`` serve the int8 path (models/quant.py): static
+    convs whose params carry ``wq`` run on the int8 MXU with the given
+    activation scales; ``observe(idx, x)`` records calibration inputs.
 
     x: (B, H, W, 3); dynamic_weights: list of (n_cls, kh, kw, Cd).
     Returns ((B*n_cls, H/32, W/32, A*(5+nC)), aux).
@@ -317,9 +323,17 @@ def detect_forward(
                     x = _activate(x, layer.activation)
                 dyn_cnt += 1
             else:
-                x, stats = apply_conv_layer(layer, dparams[layer.index], x, train)
-                if stats is not None:
-                    bn_updates[layer.index] = stats
+                p = dparams[layer.index]
+                if observe is not None:
+                    observe(layer.index, x)
+                if not train and p is not None and "wq" in p:
+                    from .quant import conv_int8
+
+                    x = conv_int8(layer, p, x, act_scales[layer.index])
+                else:
+                    x, stats = apply_conv_layer(layer, p, x, train)
+                    if stats is not None:
+                        bn_updates[layer.index] = stats
         elif kind == "maxpool":
             x = maxpool_stride1(x) if layer.stride == 1 else maxpool(x, layer.size, layer.stride)
         elif kind == "reorg":

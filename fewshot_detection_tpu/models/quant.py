@@ -72,6 +72,25 @@ def quantize_weights(spec: NetSpec, folded_params: list) -> list:
     return out
 
 
+def conv_int8(layer: LayerSpec, p: dict, x: jax.Array, sx: float) -> jax.Array:
+    """Quantize x with scale sx, run the int8 conv, dequantize + bias +
+    activation (shared by the plain walk and the meta detect path)."""
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / sx), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, p["wq"],
+        window_strides=(layer.stride, layer.stride),
+        padding=[(layer.pad, layer.pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (sx * p["wscale"])
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return _activate(y.astype(x.dtype), layer.activation)
+
+
 def _walk(spec: NetSpec, params: list, x: jax.Array, act_scales=None,
           observe=None):
     """Shared folded-graph walk. With observe: record each quantizable
@@ -86,21 +105,7 @@ def _walk(spec: NetSpec, params: list, x: jax.Array, act_scales=None,
             if observe is not None and _is_quantizable(spec, layer):
                 observe(layer.index, x)
             if quant:
-                sx = act_scales[layer.index]
-                xq = jnp.clip(
-                    jnp.round(x.astype(jnp.float32) / sx), -127, 127
-                ).astype(jnp.int8)
-                y = jax.lax.conv_general_dilated(
-                    xq, p["wq"],
-                    window_strides=(layer.stride, layer.stride),
-                    padding=[(layer.pad, layer.pad)] * 2,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
-                y = y.astype(jnp.float32) * (sx * p["wscale"])
-                if p.get("b") is not None:
-                    y = y + p["b"]
-                x = _activate(y.astype(x.dtype), layer.activation)
+                x = conv_int8(layer, p, x, act_scales[layer.index])
             else:
                 y = conv2d(x, p["w"], layer.stride, layer.pad, layer.groups)
                 if "b" in p and p["b"] is not None:

@@ -106,3 +106,42 @@ def test_calibration_covers_all_quantized_convs(tmp_path):
     need = {l.index for l in m.fspec.layers if _is_quantizable(m.fspec, l)}
     assert set(scales) == need
     assert all(v > 0 for v in scales.values())
+
+
+def test_meta_detector_int8_close(tmp_path):
+    """MetaDetector.quantize_int8: the detection sweep runs the quantized
+    backbone; outputs stay close to fp and the codes path is untouched."""
+    from fewshot_detection_tpu.eval.detector import MetaDetector
+
+    spec_d = build_spec(parse_cfg("cfg/darknet_dynamic.cfg"))
+    spec_l = build_spec(parse_cfg("cfg/reweighting_net.cfg"))
+    from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+
+    params = init_meta_params(MetaSpec(spec_d, spec_l), 7)
+    params = {
+        k: [{**p, "w": p["w"] * 2.45} if p is not None and "w" in p else p
+            for p in v]
+        for k, v in params.items()
+    }
+    w = tmp_path / "m.weights"
+    weights_io.save_weights(
+        str(w), [spec_d, spec_l], [params["darknet"], params["learnet"]])
+    m = MetaDetector("cfg/darknet_dynamic.cfg", "cfg/reweighting_net.cfg",
+                     str(w))
+
+    rng = np.random.RandomState(0)
+    N, S = 4, 64
+    metax = rng.rand(N, S, S, 3).astype(np.float32)
+    mask = (rng.rand(N, S, S, 1) > 0.5).astype(np.float32)
+    codes = m.class_codes(metax, mask)
+    x = rng.rand(2, S, S, 3).astype(np.float32)
+
+    y_fp = np.asarray(m.detect(x, codes))
+    m.quantize_int8(x, codes)
+    y_q = np.asarray(m.detect(x, codes))
+    assert y_q.shape == y_fp.shape == (2 * N, S // 32, S // 32, 30)
+    rel = np.abs(y_q - y_fp).max() / np.abs(y_fp).max()
+    assert rel < 0.06, rel
+    # codes path untouched by quantization
+    codes2 = m.class_codes(metax, mask)
+    np.testing.assert_array_equal(codes[0], codes2[0])
