@@ -33,3 +33,18 @@ def test_cli_usage(script, usage):
     assert "Usage" in out, out[-500:]
     # the full usage line, including positional args, prints verbatim
     assert usage.split("python ")[1] in out, out[-500:]
+
+
+def test_compile_cache_knob(monkeypatch, tmp_path):
+    """FSD_COMPILE_CACHE wires jax's persistent compilation cache."""
+    import jax
+
+    from fewshot_detection_tpu.cli.common import enable_compile_cache
+
+    monkeypatch.delenv("FSD_COMPILE_CACHE", raising=False)
+    enable_compile_cache()  # no-op without the env var
+
+    cache = str(tmp_path / "cache")
+    monkeypatch.setenv("FSD_COMPILE_CACHE", cache)
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == cache
