@@ -108,6 +108,10 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
         spec, momentum=momentum,
         weight_decay=decay * batch_size * factor,
         metain_type=settings.metain_type,
+        # FSD_REMAT=1: rematerialize activation epilogues in the backward —
+        # numerically identical, required to fit the flagship 416px step at
+        # the cfg's batch 64 in 16 GB HBM (PERF.md scaling table)
+        remat=os.environ.get("FSD_REMAT", "0") == "1",
     )
     mom = init_momentum(params)
 

@@ -8,6 +8,7 @@ merge (train.py:94-103), per-param weight-decay exemption for BN/bias
 
 from __future__ import annotations
 
+import os
 import random
 import time
 
@@ -60,6 +61,7 @@ def main(datacfg, cfgfile, weightfile):
     trainer = PlainTrainer(
         spec, momentum=momentum, weight_decay=decay * batch_size,
         zero_tcls=settings.metayolo,
+        remat=os.environ.get("FSD_REMAT", "0") == "1",
     )
     mom = init_momentum(params)
 

@@ -18,6 +18,32 @@ from ..models.darknet import apply_network, fold_batchnorm, folded_spec, init_pa
 from ..models.meta import MetaSpec, init_meta_params
 from ..models.spec import NetSpec, build_spec
 from ..models.weights_io import WeightsHeader, load_weights
+from ..parallel.mesh import batch_sharding, replicated_sharding
+
+
+def _commit(tree, mesh):
+    """Device-commit a param tree: replicated over `mesh`, or single-device."""
+    if mesh is None:
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _shard_images(images, mesh):
+    """(B,H,W,3) host batch -> device array; over a mesh, pad B to a multiple
+    of the mesh size (repeating the last image) and shard the batch axis.
+    Returns (device_batch, real_b) — real_b is None when nothing was padded
+    (so callers skip the output slice and its extra dispatch), else the
+    valid row count (meta outputs are image-major: padded rows at the tail)."""
+    x = np.asarray(images)
+    b = x.shape[0]
+    if mesh is None:
+        return jnp.asarray(x), None
+    n = mesh.devices.size
+    pad = (-b) % n
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+    return jax.device_put(x, batch_sharding(mesh)), (b if pad else None)
 
 
 class PlainDetector:
@@ -31,6 +57,7 @@ class PlainDetector:
         cfgfile: str,
         weightfile: str | None = None,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
         self.spec = build_spec(parse_cfg(cfgfile))
         params = init_params(self.spec, 0)
@@ -38,11 +65,13 @@ class PlainDetector:
         if weightfile:
             (params,), self.header = load_weights(weightfile, [self.spec], [params])
         self.raw_params = params
+        # over a mesh the sweep is data-parallel: params replicated, image
+        # batch sharded — the TPU analogue of a multi-GPU validation sweep
+        # (the reference ran valid on one GPU; here extra chips are free)
+        self.mesh = mesh
         # device-commit once (fold leaves BN-less layers as host numpy;
         # numpy leaves re-upload on every jitted call)
-        self.params = jax.tree_util.tree_map(
-            jnp.asarray, fold_batchnorm(self.spec, params)
-        )
+        self.params = _commit(fold_batchnorm(self.spec, params), mesh)
         self.fspec = folded_spec(self.spec)
         self.region = self.spec.region
         self.width = self.spec.width
@@ -67,7 +96,9 @@ class PlainDetector:
             quantize_weights,
         )
 
-        self.qparams = quantize_weights(self.fspec, self.params)
+        self.qparams = _commit(
+            quantize_weights(self.fspec, self.params), self.mesh
+        )
         self.act_scales = calibrate_act_scales(
             self.fspec, self.params, np.asarray(calib_images, np.float32)
         )
@@ -83,9 +114,13 @@ class PlainDetector:
 
         Stays ON DEVICE: the box decode (ops.boxes) consumes it in place,
         so only the small decoded arrays ever cross to the host."""
-        if self._fwd_int8 is not None:
-            return self._fwd_int8(self.qparams, jnp.asarray(images))
-        return self._fwd(self.params, jnp.asarray(images))
+        x, b = _shard_images(images, self.mesh)
+        out = (
+            self._fwd_int8(self.qparams, x)
+            if self._fwd_int8 is not None
+            else self._fwd(self.params, x)
+        )
+        return out if b is None else out[:b]
 
 
 class MetaDetector:
@@ -99,6 +134,7 @@ class MetaDetector:
         weightfile: str | None = None,
         metain_type: int = 2,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
         dblocks = darknetcfg if isinstance(darknetcfg, list) else parse_cfg(darknetcfg)
         lblocks = learnetcfg if isinstance(learnetcfg, list) else parse_cfg(learnetcfg)
@@ -112,11 +148,15 @@ class MetaDetector:
                 [params["darknet"], params["learnet"]],
             )
             params = {"darknet": dp, "learnet": lp}
+        # data-parallel sweep over a mesh: params + class codes replicated,
+        # image batch sharded; the internal B -> B*n_cls class expansion
+        # stays batch-sharded so every chip detects its own images
+        self.mesh = mesh
         # commit params to device ONCE: load_weights returns host numpy, and
         # feeding numpy leaves into a jitted call re-uploads the whole model
         # every invocation (measured 4.3 s/batch through the TPU tunnel vs
         # 9 ms with device-resident params)
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.params = _commit(params, mesh)
         self.metain_type = metain_type
         self.region = self.spec.region
         self.width = self.spec.darknet.width
@@ -174,7 +214,7 @@ class MetaDetector:
         )
         scales = {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
         self.act_scales = scales
-        self.qparams = qd
+        self.qparams = _commit(qd, self.mesh)
         dtype = self.compute_dtype
         self._detect_int8 = jax.jit(
             lambda p, x, dws: meta_mod.detect_forward(
@@ -186,16 +226,34 @@ class MetaDetector:
 
     def class_codes(self, metax: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
         """Support batch -> list of per-class code tensors (N, 1, 1, C).
-        Returned as host arrays (they get averaged/spliced on host)."""
-        out = self._codes(self.params, jnp.asarray(metax), jnp.asarray(mask))
-        return [np.asarray(d) for d in out]
+        Returned as host arrays (they get averaged/spliced on host).
+
+        Over a mesh the support batch is sharded like the detection batch:
+        ensemble eval's phase 1 (learnet over EVERY support image,
+        valid_ensemble.py:88-100) is embarrassingly data-parallel."""
+        mx, b = _shard_images(metax, self.mesh)
+        mk, _ = _shard_images(mask, self.mesh)
+        out = self._codes(self.params, mx, mk)
+        return [np.asarray(d if b is None else d[:b]) for d in out]
 
     def detect(self, images: np.ndarray, dynamic_weights) -> jax.Array:
-        """Raw head output, left on device for the box decode."""
-        dw = tuple(jnp.asarray(d) for d in dynamic_weights)
-        if self._detect_int8 is not None:
-            return self._detect_int8(self.qparams, jnp.asarray(images), dw)
-        return self._detect(self.params, jnp.asarray(images), dw)
+        """Raw head output, left on device for the box decode.
+
+        Output rows are image-major (B*n_cls); over a mesh any padded
+        images' rows sit at the tail and are sliced off."""
+        x, b = _shard_images(images, self.mesh)
+        if self.mesh is None:
+            dw = tuple(jnp.asarray(d) for d in dynamic_weights)
+        else:
+            sh = replicated_sharding(self.mesh)
+            dw = tuple(jax.device_put(jnp.asarray(d), sh)
+                       for d in dynamic_weights)
+        out = (
+            self._detect_int8(self.qparams, x, dw)
+            if self._detect_int8 is not None
+            else self._detect(self.params, x, dw)
+        )
+        return out if b is None else out[: b * dw[0].shape[0]]
 
     def __call__(self, images, metax, mask) -> jax.Array:
         return self.detect(images, self.class_codes(metax, mask))

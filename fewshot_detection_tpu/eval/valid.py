@@ -44,6 +44,20 @@ def eval_batch_size(default: int = 2) -> int:
     return int(os.environ.get("FSD_EVAL_BATCH", default))
 
 
+def eval_mesh():
+    """FSD_EVAL_MESH=N runs the detection sweep data-parallel over the first
+    N devices (FSD_EVAL_MESH=all: every device): params and class codes
+    replicated, image batch sharded, XLA keeps each chip's detections local.
+    The reference validated on a single GPU; on a TPU slice the extra chips
+    are otherwise idle during eval. Pair with FSD_EVAL_BATCH >= N."""
+    n = os.environ.get("FSD_EVAL_MESH")
+    if not n:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(None if n == "all" else int(n))
+
+
 def results_prefix(weightfile: str, kind: str = "e") -> str:
     """results/<backup-dir>/<kind><ckpt> (valid.py:16-18)."""
     ckpt = os.path.basename(weightfile).split(".")[0]
@@ -79,7 +93,7 @@ def run_valid(
 ) -> str:
     """Plain YOLOv2 sweep; boxes routed to files by predicted class id."""
     batch_size = batch_size or eval_batch_size()
-    m = PlainDetector(cfgfile, weightfile)
+    m = PlainDetector(cfgfile, weightfile, mesh=eval_mesh())
     prefix = results_prefix(weightfile, "e")
     print("saving to: " + prefix)
     names = settings.classes
@@ -147,7 +161,7 @@ def run_valid_ensemble(
 ) -> str:
     batch_size = batch_size or eval_batch_size()
     m = MetaDetector(darknetcfg, learnetcfg, weightfile,
-                     metain_type=settings.metain_type)
+                     metain_type=settings.metain_type, mesh=eval_mesh())
     kind = "ene_" if use_baserw else "ene"
     prefix = results_prefix(weightfile, kind)
     print("saving to: " + prefix)
@@ -215,7 +229,7 @@ def run_valid_meta(
     does NOT apply here — the reference's batch 2 stays the default."""
     batch_size = batch_size or 2
     m = MetaDetector(darknetcfg, learnetcfg, weightfile,
-                     metain_type=settings.metain_type)
+                     metain_type=settings.metain_type, mesh=eval_mesh())
     prefix = results_prefix(weightfile, "e")
     print("saving to: " + prefix)
 

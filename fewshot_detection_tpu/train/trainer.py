@@ -29,6 +29,27 @@ from ..ops.region_loss import region_loss, region_loss_v2
 from .optim import sgd_update
 
 
+def _compiler_options() -> dict[str, str] | None:
+    """Optional XLA compiler options for the train step, from the env:
+    FSD_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,flag=val,...".
+
+    Passed per-executable via jit(compiler_options=...) rather than
+    XLA_FLAGS because compilation may happen in a remote TPU worker
+    (tunneled attach), where the local process env never reaches the
+    compiler. Default (unset) compiles with XLA's defaults."""
+    import os
+
+    raw = os.environ.get("FSD_XLA_OPTS", "")
+    if not raw.strip():
+        return None
+    opts = {}
+    for kv in raw.split(","):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            opts[k.strip()] = v.strip()
+    return opts or None
+
+
 def _mean_over_groups(tree):
     return jax.tree_util.tree_map(lambda x: x.mean(axis=0), tree)
 
@@ -101,7 +122,8 @@ class MetaTrainer:
         # matmul outputs trades cheap recompute for activation traffic.
         self.remat = remat
         self._step = jax.jit(
-            self._step_impl, donate_argnums=(0, 1) if donate else ()
+            self._step_impl, donate_argnums=(0, 1) if donate else (),
+            compiler_options=_compiler_options(),
         )
 
     def _forward(self, params, x, metax, mask):
@@ -212,6 +234,7 @@ class PlainTrainer:
         weight_decay: float = 0.0,
         zero_tcls: bool = False,
         donate: bool = True,
+        remat: bool = False,
         s2d: bool = False,
     ):
         self.spec = spec
@@ -220,14 +243,27 @@ class PlainTrainer:
         self.weight_decay = weight_decay
         self.zero_tcls = zero_tcls
         self.s2d = s2d
+        self.remat = remat  # same policy/rationale as MetaTrainer
         self._step = jax.jit(
-            self._step_impl, donate_argnums=(0, 1) if donate else ()
+            self._step_impl, donate_argnums=(0, 1) if donate else (),
+            compiler_options=_compiler_options(),
         )
 
     def _episode_loss(self, params, x, target, keep, seen):
-        y, aux = apply_network(
-            self.spec, params, x, train=True, s2d_stem=self.s2d
-        )
+        def fwd(p, xx):
+            return apply_network(
+                self.spec, p, xx, train=True, s2d_stem=self.s2d
+            )
+
+        if self.remat:
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"
+                ),
+                jax.checkpoint_policies.dots_saveable,
+            )
+            fwd = jax.checkpoint(fwd, policy=policy)
+        y, aux = fwd(params, x)
         loss, metrics = region_loss(
             y, target, keep, seen, self.region, zero_tcls=self.zero_tcls
         )

