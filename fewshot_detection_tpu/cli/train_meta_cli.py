@@ -112,6 +112,10 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
         # numerically identical, required to fit the flagship 416px step at
         # the cfg's batch 64 in 16 GB HBM (PERF.md scaling table)
         remat=os.environ.get("FSD_REMAT", "0") == "1",
+        # FSD_CLIP_NORM: opt-in global-norm gradient clipping — the
+        # reference never trains from random init (always darknet19
+        # pretrained), where the early conf loss can diverge plain SGD
+        clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
     )
     mom = init_momentum(params)
 

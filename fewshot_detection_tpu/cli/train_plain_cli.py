@@ -62,6 +62,7 @@ def main(datacfg, cfgfile, weightfile):
         spec, momentum=momentum, weight_decay=decay * batch_size,
         zero_tcls=settings.metayolo,
         remat=os.environ.get("FSD_REMAT", "0") == "1",
+        clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
     )
     mom = init_momentum(params)
 

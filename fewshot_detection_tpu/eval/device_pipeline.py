@@ -27,6 +27,20 @@ from ..ops.boxes import decode_region_output
 from ..ops.nms_device import nms_jax, nms_pallas
 
 
+def _nms_rows(bsel, dsel, cconf, cid, nms_thresh, use_pallas, interpret):
+    """Shared per-row tail: greedy NMS over a conf-descending candidate
+    buffer, emitting reference-format rows + keep mask."""
+    if use_pallas:
+        keep, _ = nms_pallas(bsel, dsel, nms_thresh, interpret=interpret)
+    else:
+        keep, _ = nms_jax(bsel, dsel, nms_thresh)
+    rows = jnp.concatenate(
+        [bsel, dsel[:, None], cconf[:, None], cid[:, None].astype(bsel.dtype)],
+        axis=-1,
+    )
+    return rows, keep & (dsel > 0)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _pipeline(
     output: jax.Array,
@@ -54,22 +68,67 @@ def _pipeline(
     def per_image(bx, dt, cm, ci, sc, ix):
         bsel = bx[ix]
         dsel = jnp.where(sc > 0, dt[ix], 0.0)
-        if use_pallas:
-            keep, order = nms_pallas(bsel, dsel, nms_thresh, interpret=interpret)
-        else:
-            keep, order = nms_jax(bsel, dsel, nms_thresh)
-        # top_k output is already conf-descending, so order == identity and
-        # `keep` aligns with the buffer rows
-        rows = jnp.concatenate(
-            [bsel, dsel[:, None], cm[ix][:, None],
-             ci[ix][:, None].astype(bsel.dtype)],
-            axis=-1,
-        )
-        return rows, keep & (dsel > 0)
+        # top_k output is already conf-descending, so NMS order == identity
+        # and `keep` aligns with the buffer rows
+        return _nms_rows(bsel, dsel, cm[ix], ci[ix], nms_thresh,
+                         use_pallas, interpret)
 
     rows, keep = jax.vmap(per_image)(
         boxes, det, cls_max, cls_id, top_scores, idx
     )
+    return rows, keep
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _pipeline_v2(
+    output: jax.Array,
+    n_cls: int,
+    anchors: tuple[tuple[float, float], ...],
+    num_classes: int,
+    conf_thresh: float,
+    nms_thresh: float,
+    top_k: int,
+    use_pallas: bool,
+    interpret: bool,
+):
+    """Meta-detector decode: cross-copy class softmax (utils.py:212-219 in
+    /root/reference) normalizes class confidence ACROSS the n_cls batch
+    copies, then each (image, class) row is thresholded on det*cls and
+    greedily NMS'd on objectness — all on device with fixed buffers.
+
+    output: (B*n_cls, H, W, A*(5+nC)) image-major. Returns (rows, keep)
+    with leading dim B*n_cls; rows are [cx cy w h det cls_conf class_idx]
+    (class_idx = the row's class position, which is what routes boxes to
+    per-class result files in the meta sweeps)."""
+    decoded = decode_region_output(output, anchors, num_classes)
+    bn = output.shape[0]
+    logits = decoded["cls_logits"]  # (B*n, A, H, W, nC)
+    sm = jax.nn.softmax(
+        logits.reshape(bn // n_cls, n_cls, *logits.shape[1:]), axis=1
+    ).reshape(logits.shape)
+    # metayolo heads are single-class per copy; rank by the max class conf
+    cls_conf = sm.max(axis=-1)
+
+    boxes = decoded["boxes"].transpose(0, 2, 3, 1, 4).reshape(bn, -1, 4)
+    det = decoded["det_conf"].transpose(0, 2, 3, 1).reshape(bn, -1)
+    cls = cls_conf.transpose(0, 2, 3, 1).reshape(bn, -1)
+    cls_idx = jnp.repeat(
+        jnp.arange(bn, dtype=output.dtype) % n_cls, boxes.shape[1]
+    ).reshape(bn, -1)
+
+    # threshold on det*cls (validation semantics, utils.py:255-282) but rank
+    # and NMS on objectness — the host nms key (utils.py:85-104)
+    mask = det * cls > conf_thresh
+    scores = jnp.where(mask, det, 0.0)
+    top_scores, idx = jax.lax.top_k(scores, top_k)
+
+    def per_row(bx, dt, cl, cidx, sc, ix):
+        bsel = bx[ix]
+        dsel = jnp.where(sc > 0, dt[ix], 0.0)
+        return _nms_rows(bsel, dsel, cl[ix], cidx[ix], nms_thresh,
+                         use_pallas, interpret)
+
+    rows, keep = jax.vmap(per_row)(boxes, det, cls, cls_idx, top_scores, idx)
     return rows, keep
 
 
@@ -108,16 +167,66 @@ class DevicePipeline:
 
     def __call__(self, output: jax.Array) -> list[list[list[float]]]:
         rows, keep = self.device_call(output)
-        rows = np.asarray(rows)
-        keep = np.asarray(keep)
-        out = []
-        for b in range(rows.shape[0]):
-            img = []
-            for r in range(rows.shape[1]):
-                if keep[b, r]:
-                    row = rows[b, r]
-                    img.append(
-                        [float(v) for v in row[:6]] + [int(round(float(row[6])))]
-                    )
-            out.append(img)
-        return out
+        return _to_box_lists(rows, keep)
+
+
+def _to_box_lists(rows, keep) -> list[list[list[float]]]:
+    rows = np.asarray(rows)
+    keep = np.asarray(keep)
+    out = []
+    for b in range(rows.shape[0]):
+        img = []
+        for r in range(rows.shape[1]):
+            if keep[b, r]:
+                row = rows[b, r]
+                img.append(
+                    [float(v) for v in row[:6]] + [int(round(float(row[6])))]
+                )
+        out.append(img)
+    return out
+
+
+class MetaDevicePipeline:
+    """On-device decode + per-(image, class) NMS for the META detector.
+
+    The serving counterpart of the get_region_boxes_v2 + host-nms eval path
+    (valid_ensemble.py:137-178 in /root/reference): raw detect_forward
+    output in (image-major B*n_cls rows), kept boxes out, one small D2H
+    copy per batch. Same truncation caveat as DevicePipeline: rows with
+    more than top_k candidates above conf_thresh keep the top_k
+    highest-objectness ones.
+    """
+
+    def __init__(
+        self,
+        region,
+        n_cls: int,
+        conf_thresh: float = 0.25,
+        nms_thresh: float = 0.45,
+        top_k: int = 128,
+        use_pallas: bool | None = None,
+        interpret: bool | None = None,
+    ):
+        self.anchors = region.anchor_wh
+        self.num_classes = region.num_classes
+        self.n_cls = n_cls
+        self.conf_thresh = conf_thresh
+        self.nms_thresh = nms_thresh
+        self.top_k = top_k
+        on_tpu = jax.default_backend() == "tpu"
+        self.use_pallas = on_tpu if use_pallas is None else use_pallas
+        self.interpret = (not on_tpu) if interpret is None else interpret
+
+    def device_call(self, output: jax.Array):
+        """(rows, keep) device arrays, leading dim B*n_cls image-major."""
+        return _pipeline_v2(
+            output, self.n_cls, self.anchors, self.num_classes,
+            self.conf_thresh, self.nms_thresh, self.top_k,
+            self.use_pallas, self.interpret,
+        )
+
+    def __call__(self, output: jax.Array) -> list[list[list[float]]]:
+        """B*n_cls per-(image, class) box lists, ``[cx, cy, w, h, det_conf,
+        cls_conf, class_idx]``, kept boxes in objectness-descending order."""
+        rows, keep = self.device_call(output)
+        return _to_box_lists(rows, keep)

@@ -38,6 +38,19 @@ def init_momentum(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale the gradient pytree so its global L2 norm is <= max_norm.
+
+    NOT part of the reference (its recipes always start from a pretrained
+    darknet19 backbone and never need it); opt-in via FSD_CLIP_NORM for
+    from-scratch runs, where the early conf loss can diverge SGD."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                      for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gn, 1e-12))
+    return jax.tree_util.tree_map(lambda g: (g * scale).astype(g.dtype), grads)
+
+
 def sgd_update(
     params,
     grads,
@@ -47,9 +60,13 @@ def sgd_update(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     decay_bn_and_bias: bool = True,
+    clip_norm: float = 0.0,
 ):
     """One torch-semantics SGD step over the full params pytree; BN running
-    stats pass through untouched."""
+    stats pass through untouched. clip_norm > 0 applies global-norm gradient
+    clipping first (an opt-in extension — see clip_by_global_norm)."""
+    if clip_norm and clip_norm > 0:
+        grads = clip_by_global_norm(grads, clip_norm)
 
     def upd(path, p, g, m):
         if _is_bn_stat(path):

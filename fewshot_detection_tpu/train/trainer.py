@@ -107,11 +107,13 @@ class MetaTrainer:
         donate: bool = True,
         remat: bool = False,
         s2d: bool = False,
+        clip_norm: float = 0.0,
     ):
         self.spec = spec
         self.region = spec.region
         self.momentum = momentum
         self.weight_decay = weight_decay
+        self.clip_norm = clip_norm
         self.metain_type = metain_type
         self.fuse = fuse
         # space-to-depth stem: exact conv+pool rewrite that keeps the
@@ -168,6 +170,7 @@ class MetaTrainer:
             params, grads, mom, lr,
             momentum=self.momentum, weight_decay=self.weight_decay,
             decay_bn_and_bias=True,  # train_meta.py decays everything
+            clip_norm=self.clip_norm,
         )
         params = apply_meta_bn_updates(params, _mean_over_groups(bn))
         return params, mom, _sum_metrics(metrics)
@@ -236,11 +239,13 @@ class PlainTrainer:
         donate: bool = True,
         remat: bool = False,
         s2d: bool = False,
+        clip_norm: float = 0.0,
     ):
         self.spec = spec
         self.region = spec.region
         self.momentum = momentum
         self.weight_decay = weight_decay
+        self.clip_norm = clip_norm
         self.zero_tcls = zero_tcls
         self.s2d = s2d
         self.remat = remat  # same policy/rationale as MetaTrainer
@@ -282,7 +287,7 @@ class PlainTrainer:
         params, mom = sgd_update(
             params, grads, mom, lr,
             momentum=self.momentum, weight_decay=self.weight_decay,
-            decay_bn_and_bias=False,
+            decay_bn_and_bias=False, clip_norm=self.clip_norm,
         )
         params = apply_bn_updates(params, _mean_over_groups(bn))
         return params, mom, _sum_metrics(metrics)

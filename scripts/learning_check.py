@@ -35,6 +35,10 @@ def main():
                     help="flagship 416px cfgs (TPU-sized) instead of tiny")
     ap.add_argument("--images", type=int, default=None)
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the cfg batch size")
+    ap.add_argument("--warmup", type=int, default=None,
+                    help="override the LR warmup length (first steps= entry)")
     ap.add_argument("--root", default=None,
                     help="workspace dir (default: a fresh tempdir)")
     ap.add_argument("--seed", type=int, default=0)
@@ -72,6 +76,12 @@ def main():
     import re
 
     txt = re.sub(r"max_batches\s*=\s*\d+", f"max_batches={max_batches}", txt)
+    if args.batch:
+        txt = re.sub(r"(?m)^batch\s*=\s*\d+", f"batch={args.batch}", txt)
+    if args.warmup is not None:
+        # shipped schedule: steps=-1,500,... — replace the warmup boundary
+        txt = re.sub(r"(?m)^steps\s*=\s*-1,\s*\d+",
+                     f"steps=-1,{args.warmup}", txt)
     open(dk_cfg, "w").write(txt)
 
     datacfg = os.path.join(root, "meta.data")

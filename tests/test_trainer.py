@@ -207,3 +207,19 @@ def test_plain_trainer_remat_is_exact():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-5
         )
+
+
+def test_clip_by_global_norm():
+    from fewshot_detection_tpu.train.optim import clip_by_global_norm
+
+    g = {"a": np.full((3,), 3.0, np.float32), "b": np.full((4,), 4.0, np.float32)}
+    gn = np.sqrt(3 * 9.0 + 4 * 16.0)  # ~9.54
+    clipped = clip_by_global_norm(
+        {k: jnp.asarray(v) for k, v in g.items()}, 1.0
+    )
+    cn = np.sqrt(sum(float((np.asarray(v) ** 2).sum()) for v in clipped.values()))
+    assert cn == pytest.approx(1.0, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), g["a"] / gn, rtol=1e-5)
+    # under the limit: untouched
+    same = clip_by_global_norm({k: jnp.asarray(v) for k, v in g.items()}, 100.0)
+    np.testing.assert_allclose(np.asarray(same["b"]), g["b"], rtol=1e-6)
