@@ -123,6 +123,7 @@ class MetaTrainer:
         # v5e at 18% MXU util), so rematerializing everything EXCEPT conv/
         # matmul outputs trades cheap recompute for activation traffic.
         self.remat = remat
+        self._donate = donate
         self._step = jax.jit(
             self._step_impl, donate_argnums=(0, 1) if donate else (),
             compiler_options=_compiler_options(),
@@ -180,6 +181,45 @@ class MetaTrainer:
             params, mom, batch["x"], batch["metax"], batch["mask"],
             batch["target"], batch["keep"],
             jnp.asarray(seen, jnp.int32), jnp.asarray(lr, jnp.float32),
+        )
+
+    @functools.cached_property
+    def _multi_step(self):
+        def run(params, mom, batches, seens, lrs):
+            def body(carry, xs):
+                p, m = carry
+                b, s, l = xs
+                p, m, metrics = self._step_impl(
+                    p, m, b["x"], b["metax"], b["mask"], b["target"],
+                    b["keep"], s, l,
+                )
+                return (p, m), metrics
+
+            (params, mom), metrics = jax.lax.scan(
+                body, (params, mom), (batches, seens, lrs)
+            )
+            return params, mom, metrics
+
+        return jax.jit(run,
+                       donate_argnums=(0, 1) if self._donate else (),
+                       compiler_options=_compiler_options())
+
+    def multi_step(self, params, mom, batches: dict, seens, lrs):
+        """N train steps in ONE device dispatch (lax.scan over pre-stacked
+        batches) — the same math as N step() calls, minus N-1 host
+        round-trips (worth ~3-5 ms/step on remote-attached transports plus
+        the Python dispatch overhead locally); costs N batches of input HBM
+        residency, so size N to the memory headroom. The scanned body fuses
+        differently, so results match step() to float32 reduction-reorder
+        ulps per step (compounding across steps), not bitwise.
+
+        batches: the step() dict with an extra leading axis N on every
+        leaf; seens/lrs: (N,) arrays, seens[i] already including step i's
+        images (the CLI increments `seen` before each step). Returns
+        (params, mom, metrics) with metrics stacked (N, ...)."""
+        return self._multi_step(
+            params, mom, batches,
+            jnp.asarray(seens, jnp.int32), jnp.asarray(lrs, jnp.float32),
         )
 
     def warm(self, params, mom, n_cls: int, batch_size: int, sizes=None,
