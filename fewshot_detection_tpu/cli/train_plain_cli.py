@@ -94,8 +94,15 @@ def main(datacfg, cfgfile, weightfile):
             keep = sample_neg_keep(
                 labels.reshape(B, -1), settings.neg_ratio, nprng
             )
+            import jax.numpy as jnp
+
+            # FSD_DTYPE=bfloat16 halves the per-step H2D image traffic
+            # (like the meta driver); BN stats/loss math stay fp32
+            jdt = getattr(jnp, os.environ.get("FSD_DTYPE", "float32"))
             batch = {
-                "x": imgs.reshape(n_groups, b, *imgs.shape[1:]),
+                "x": jnp.asarray(
+                    imgs.reshape(n_groups, b, *imgs.shape[1:]), jdt
+                ),
                 "target": labels.reshape(n_groups, b, 50, 5),
                 "keep": keep.reshape(n_groups, b),
             }

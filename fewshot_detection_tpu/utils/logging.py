@@ -11,6 +11,13 @@ def log(message: str) -> None:
 
 
 def format_loss_line(seen: int, metrics: dict) -> str:
+    # fetch the whole metrics dict in ONE device transfer: per-scalar
+    # float() costs a full host<->device round-trip each, which dominates
+    # the step wall time on remote-attached devices (measured ~2.8 s/step
+    # through the TPU tunnel for 7 sequential scalar fetches)
+    import jax
+
+    metrics = jax.device_get(metrics)
     g = lambda k: float(metrics[k])
     return (
         f"{seen}: nGT {int(g('nGT'))}, recall {int(g('nCorrect'))}, "
