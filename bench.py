@@ -89,8 +89,11 @@ def _is_oom(e: Exception) -> bool:
         or "Out of memory" in msg
         or "OOM" in msg
         # allocation failures can also surface as compile-service errors
-        # (observed for over-memory batches through the TPU tunnel)
-        or "tpu_compile_helper" in msg
+        # (observed for over-memory batches through the TPU tunnel) — but
+        # a genuine bad-input compile failure (e.g. an invalid
+        # FSD_XLA_OPTS flag) reports INVALID_ARGUMENT and must NOT be
+        # silently downgraded to a smaller-batch fallback
+        or ("tpu_compile_helper" in msg and "INVALID_ARGUMENT" not in msg)
         or "ran out of memory" in msg.lower()
     )
 

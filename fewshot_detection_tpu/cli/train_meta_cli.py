@@ -152,9 +152,15 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
             from ..parallel import shard_batch as _sb
 
             shard_fn = lambda b: _sb(mesh, b)
+        import jax.numpy as jnp
+
         trainer.warm(
             params, mom, n_cls=len(probe_meta.classes),
             batch_size=batch_size, n_groups=n_groups,
+            # the jit cache keys on input dtype: warm with the SAME dtype
+            # the loop's make_episode_batch will feed (FSD_DTYPE), else
+            # every bucket still recompiles at first real use
+            dtype=getattr(jnp, compute_dtype()),
             meta_shape=(settings.meta_width, settings.meta_height),
             mask_shape=(settings.mask_width, settings.mask_height),
             # raw support-image channels: RGB, +cropped RGB for metain 3/4

@@ -75,6 +75,12 @@ def main(datacfg, cfgfile, weightfile):
     rng = random.Random(int(time.time()))
     nprng = np.random.RandomState(rng.randrange(2**31))
 
+    import jax.numpy as jnp
+
+    # FSD_DTYPE=bfloat16 halves the per-step H2D image traffic (same knob
+    # as the meta driver); BN stats/loss math stay fp32
+    jdt = getattr(jnp, os.environ.get("FSD_DTYPE", "float32"))
+
     for epoch in range(init_epoch, max_epochs):
         t0 = time.time()
         ds = DetectionDataset(
@@ -94,11 +100,6 @@ def main(datacfg, cfgfile, weightfile):
             keep = sample_neg_keep(
                 labels.reshape(B, -1), settings.neg_ratio, nprng
             )
-            import jax.numpy as jnp
-
-            # FSD_DTYPE=bfloat16 halves the per-step H2D image traffic
-            # (like the meta driver); BN stats/loss math stay fp32
-            jdt = getattr(jnp, os.environ.get("FSD_DTYPE", "float32"))
             batch = {
                 "x": jnp.asarray(
                     imgs.reshape(n_groups, b, *imgs.shape[1:]), jdt

@@ -224,6 +224,15 @@ class MetaDetector:
             )[0].astype(jnp.float32)
         )
 
+    def commit_codes(self, codes) -> list[jax.Array]:
+        """Device-commit fixed class codes once for a whole sweep:
+        replicated over the mesh when sharded eval is active, plain
+        device arrays otherwise. detect() then reuses them as-is."""
+        if self.mesh is None:
+            return [jnp.asarray(c) for c in codes]
+        sh = replicated_sharding(self.mesh)
+        return [jax.device_put(jnp.asarray(c), sh) for c in codes]
+
     def class_codes(self, metax: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
         """Support batch -> list of per-class code tensors (N, 1, 1, C).
         Returned as host arrays (they get averaged/spliced on host).
@@ -246,8 +255,15 @@ class MetaDetector:
             dw = tuple(jnp.asarray(d) for d in dynamic_weights)
         else:
             sh = replicated_sharding(self.mesh)
-            dw = tuple(jax.device_put(jnp.asarray(d), sh)
-                       for d in dynamic_weights)
+            # skip the device_put when the codes already carry the
+            # replicated sharding (a fixed-code sweep passes the same
+            # arrays every batch — re-replicating them per batch would
+            # re-issue the transfers the device-commit exists to avoid)
+            dw = tuple(
+                d if getattr(d, "sharding", None) == sh
+                else jax.device_put(jnp.asarray(d), sh)
+                for d in dynamic_weights
+            )
         out = (
             self._detect_int8(self.qparams, x, dw)
             if self._detect_int8 is not None

@@ -203,12 +203,11 @@ def run_valid_ensemble(
                 rw = rw.transpose(0, 2, 3, 1)
             codes[i][tki] = rw[tki]
 
-    import jax.numpy as jnp
-
-    # device-commit the fixed codes once; per-batch host->device conversion
-    # would cost n_cls transfers on every sweep batch
+    # device-commit the fixed codes once (replicated over the eval mesh if
+    # active); per-batch host->device conversion would cost n_cls
+    # transfers on every sweep batch
     return _meta_sweep(m, data_options, settings, prefix, outfile,
-                       [jnp.asarray(c) for c in codes], n_cls,
+                       m.commit_codes(codes), n_cls,
                        metaset.classes, batch_size)
 
 

@@ -201,6 +201,8 @@ def apply_network(
     start: int = 0,
     stop: int | None = None,
     s2d_stem: bool = False,
+    observe=None,
+    act_scales=None,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Run a static network. Returns (output, aux) where aux carries
     ``bn_updates`` ({layer_index: new stats} when train=True) and
@@ -214,6 +216,10 @@ def apply_network(
     can_fuse_s2d_stem) in space-to-depth form — exact same math, but the
     full-resolution stem activation never touches HBM (see
     ops.layers.stem_s2d_conv_pool).
+
+    ``observe(layer_index, x)`` is called with every static conv's input
+    (int8 calibration hook); conv params carrying ``wq`` run on the int8
+    MXU path with ``act_scales[layer_index]`` (models.quant).
     """
     outputs: dict[int, jax.Array] = {}
     bn_updates: dict[int, dict] = {}
@@ -239,9 +245,17 @@ def apply_network(
                 raise ValueError(
                     "dynamic conv in a static network — use models.meta"
                 )
-            x, stats = apply_conv_layer(layer, params[layer.index], x, train)
-            if stats is not None:
-                bn_updates[layer.index] = stats
+            p = params[layer.index]
+            if observe is not None:
+                observe(layer.index, x)
+            if p is not None and "wq" in p:
+                from .quant import conv_int8  # lazy: quant imports darknet
+
+                x = conv_int8(layer, p, x, act_scales[layer.index])
+            else:
+                x, stats = apply_conv_layer(layer, p, x, train)
+                if stats is not None:
+                    bn_updates[layer.index] = stats
         elif kind == "maxpool":
             x = maxpool_stride1(x) if layer.stride == 1 else maxpool(x, layer.size, layer.stride)
         elif kind == "reorg":

@@ -27,14 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.layers import (
-    global_avgpool,
-    global_maxpool,
-    maxpool,
-    maxpool_stride1,
-    reorg,
-)
-from .darknet import _activate, conv2d
+from .darknet import _activate, apply_network
 from .spec import LayerSpec, NetSpec
 
 
@@ -91,55 +84,6 @@ def conv_int8(layer: LayerSpec, p: dict, x: jax.Array, sx: float) -> jax.Array:
     return _activate(y.astype(x.dtype), layer.activation)
 
 
-def _walk(spec: NetSpec, params: list, x: jax.Array, act_scales=None,
-          observe=None):
-    """Shared folded-graph walk. With observe: record each quantizable
-    conv's input absmax (calibration). With act_scales: run those convs in
-    int8. Otherwise: plain folded fp inference."""
-    outputs: dict[int, jax.Array] = {}
-    for layer in spec.layers:
-        kind = layer.kind
-        if kind == "conv":
-            p = params[layer.index]
-            quant = p is not None and "wq" in p
-            if observe is not None and _is_quantizable(spec, layer):
-                observe(layer.index, x)
-            if quant:
-                x = conv_int8(layer, p, x, act_scales[layer.index])
-            else:
-                y = conv2d(x, p["w"], layer.stride, layer.pad, layer.groups)
-                if "b" in p and p["b"] is not None:
-                    y = y + p["b"].astype(y.dtype)
-                x = _activate(y, layer.activation)
-        elif kind == "maxpool":
-            x = maxpool_stride1(x) if layer.stride == 1 else maxpool(
-                x, layer.size, layer.stride)
-        elif kind == "reorg":
-            x = reorg(x, layer.stride)
-        elif kind == "route":
-            if len(layer.sources) == 1:
-                x = outputs[layer.sources[0]]
-            else:
-                x = jnp.concatenate([outputs[s] for s in layer.sources], -1)
-        elif kind == "shortcut":
-            x = _activate(
-                outputs[layer.sources[0]] + outputs[layer.sources[1]],
-                layer.activation,
-            )
-        elif kind == "globalmax":
-            x = global_maxpool(x)
-        elif kind in ("globalavg", "avgpool"):
-            x = global_avgpool(x)
-        elif kind == "softmax":
-            x = jax.nn.softmax(x, axis=-1)
-        elif kind in ("region", "cost"):
-            pass
-        else:
-            raise ValueError(f"int8 path: unhandled layer kind {kind!r}")
-        outputs[layer.index] = x
-    return x
-
-
 def calibrate_act_scales(
     spec: NetSpec, folded_params: list, images: np.ndarray,
     batch: int = 8,
@@ -149,12 +93,13 @@ def calibrate_act_scales(
     absmax: dict[int, float] = {}
 
     def observe(idx, x):
-        m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-        absmax[idx] = max(absmax.get(idx, 0.0), m)
+        if _is_quantizable(spec, spec.layers[idx]):
+            m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            absmax[idx] = max(absmax.get(idx, 0.0), m)
 
     for s in range(0, len(images), batch):
-        _walk(spec, folded_params, jnp.asarray(images[s:s + batch]),
-              observe=observe)
+        apply_network(spec, folded_params, jnp.asarray(images[s:s + batch]),
+                      observe=observe)
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
 
@@ -163,4 +108,4 @@ def apply_network_int8(
 ) -> jax.Array:
     """Folded inference with int8 MXU convs (jit-compatible; act_scales are
     python floats baked in at trace time)."""
-    return _walk(spec, qparams, x, act_scales=act_scales)
+    return apply_network(spec, qparams, x, act_scales=act_scales)[0]
