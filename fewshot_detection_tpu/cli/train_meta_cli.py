@@ -242,4 +242,9 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                     processed_batches=processed_batches,
                 )
 
+    if orbax_dir:
+        # commit any in-flight FSD_ASYNC_CKPT=1 background save
+        from ..train.checkpoint import wait_for_saves
+
+        wait_for_saves()
     return params

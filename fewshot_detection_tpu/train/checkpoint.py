@@ -22,6 +22,29 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_async_ckpt = None
+
+
+def _async_checkpointer():
+    """Process-wide AsyncCheckpointer: save() returns after staging a host
+    copy; the serialize+write runs on a background thread, hidden behind
+    the next training epochs. Orbax blocks a new save until the previous
+    one commits, so back-to-back saves stay well-ordered."""
+    global _async_ckpt
+    if _async_ckpt is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckpt
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint commits. Call before
+    process exit (and before reading a just-written checkpoint)."""
+    if _async_ckpt is not None:
+        _async_ckpt.wait_until_finished()
+
+
 def save_train_state(
     directory: str,
     step: int,
@@ -41,7 +64,13 @@ def save_train_state(
             "step": np.asarray(step, np.int64),
         },
     }
-    _checkpointer().save(path, state, force=True)
+    # FSD_ASYNC_CKPT=1: stage + return immediately, write in background
+    # (training continues while the ~0.5 GB state serializes); pair with
+    # wait_for_saves() at shutdown
+    if os.environ.get("FSD_ASYNC_CKPT", "0") == "1":
+        _async_checkpointer().save(path, state, force=True)
+    else:
+        _checkpointer().save(path, state, force=True)
     return path
 
 

@@ -37,6 +37,25 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_async_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """FSD_ASYNC_CKPT=1 stages the save in the background; after
+    wait_for_saves() the checkpoint restores identically to the sync path."""
+    from fewshot_detection_tpu.train.checkpoint import wait_for_saves
+
+    monkeypatch.setenv("FSD_ASYNC_CKPT", "1")
+    params = {"darknet": [{"w": jnp.arange(6.0).reshape(2, 3)}]}
+    mom = {"darknet": [{"w": jnp.full((2, 3), 0.25)}]}
+    d = str(tmp_path / "ckpts")
+    save_train_state(d, step=5, params=params, momentum=mom,
+                     seen=320, processed_batches=5)
+    wait_for_saves()
+    restored = restore_train_state(latest_checkpoint(d))
+    assert restored["counters"]["seen"] == 320
+    np.testing.assert_allclose(
+        np.asarray(restored["momentum"]["darknet"][0]["w"]), 0.25
+    )
+
+
 def test_latest_checkpoint_empty(tmp_path):
     assert latest_checkpoint(str(tmp_path / "none")) is None
 
