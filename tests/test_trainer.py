@@ -264,3 +264,20 @@ def test_multi_step_matches_sequential_steps(meta_setup):
                      jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_compiler_options_env_parsing(monkeypatch):
+    from fewshot_detection_tpu.train.trainer import _compiler_options
+
+    monkeypatch.delenv("FSD_XLA_OPTS", raising=False)
+    assert _compiler_options() is None
+    monkeypatch.setenv("FSD_XLA_OPTS", " ")
+    assert _compiler_options() is None
+    monkeypatch.setenv(
+        "FSD_XLA_OPTS",
+        "xla_tpu_scoped_vmem_limit_kib=65536, xla_flag=true ,,",
+    )
+    assert _compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_flag": "true",
+    }
