@@ -173,78 +173,83 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
 
     orbax_dir = os.environ.get("FSD_ORBAX_DIR")
 
-    for epoch in range(init_epoch, max_epochs):
-        timer = StepTimer()
-        ds = DetectionDataset(
-            trainlist, settings, train=True, seen=seen, shuffle=False,
-            rng=rng, filter_valid=False,
-        )
-        metaset = MetaDataset(
-            data_options["meta"], settings, train=True,
-            num_replicas=n_groups, rng=rng,
-        )
-        meta_iter = metaset.batches(n_groups * len(metaset.classes))
-
-        lr = lr_schedule(processed_batches, learning_rate, steps, scales)
-        log(
-            f"epoch {epoch}/{max_epochs}, processed {epoch * nsamples} "
-            f"samples, lr {lr:f}"
-        )
-
-        def episodes():
-            # detection + support batches prepared together so the
-            # background thread hides BOTH loads behind the device step
-            for imgs, labels in ds.batches(batch_size):
-                metax, mask = next(meta_iter)
-                yield imgs, labels, metax, mask
-
-        with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
-            it = prefetch(episodes())
-            while True:
-                with timer.phase("data"):
-                    nxt = next(it, None)
-                    if nxt is None:
-                        break
-                    imgs, labels, metax, mask = nxt
-                lr = lr_schedule(processed_batches, learning_rate, steps, scales)
-                processed_batches += 1
-                with timer.phase("step"):
-                    batch = make_episode_batch(
-                        imgs, labels, metax, mask, n_groups,
-                        settings.neg_ratio, nprng, dtype=compute_dtype(),
-                    )
-                    if mesh is not None:
-                        from ..parallel import shard_batch
-
-                        batch = shard_batch(mesh, batch)
-                    seen += imgs.shape[0]
-                    params, mom, metrics = trainer.step(
-                        params, mom, batch, seen=seen, lr=lr / batch_size
-                    )
-                print(format_loss_line(seen, metrics))
-
-        log(timer.summary(images=nsamples))
-
-        if (epoch + 1) % settings.save_interval == 0:
-            out = f"{backupdir}/{epoch + 1:06d}.weights"
-            log("save weights to " + out)
-            weights_io.save_weights(
-                out, [spec.darknet, spec.learnet],
-                [params["darknet"], params["learnet"]],
-                seen=(epoch + 1) * nsamples,
+    try:
+        for epoch in range(init_epoch, max_epochs):
+            timer = StepTimer()
+            ds = DetectionDataset(
+                trainlist, settings, train=True, seen=seen, shuffle=False,
+                rng=rng, filter_valid=False,
             )
-            if orbax_dir:
-                from ..train.checkpoint import save_train_state
+            metaset = MetaDataset(
+                data_options["meta"], settings, train=True,
+                num_replicas=n_groups, rng=rng,
+            )
+            meta_iter = metaset.batches(n_groups * len(metaset.classes))
 
-                save_train_state(
-                    orbax_dir, epoch + 1, params, mom,
+            lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+            log(
+                f"epoch {epoch}/{max_epochs}, processed {epoch * nsamples} "
+                f"samples, lr {lr:f}"
+            )
+
+            def episodes():
+                # detection + support batches prepared together so the
+                # background thread hides BOTH loads behind the device step
+                for imgs, labels in ds.batches(batch_size):
+                    metax, mask = next(meta_iter)
+                    yield imgs, labels, metax, mask
+
+            with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
+                it = prefetch(episodes())
+                while True:
+                    with timer.phase("data"):
+                        nxt = next(it, None)
+                        if nxt is None:
+                            break
+                        imgs, labels, metax, mask = nxt
+                    lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+                    processed_batches += 1
+                    with timer.phase("step"):
+                        batch = make_episode_batch(
+                            imgs, labels, metax, mask, n_groups,
+                            settings.neg_ratio, nprng, dtype=compute_dtype(),
+                        )
+                        if mesh is not None:
+                            from ..parallel import shard_batch
+
+                            batch = shard_batch(mesh, batch)
+                        seen += imgs.shape[0]
+                        params, mom, metrics = trainer.step(
+                            params, mom, batch, seen=seen, lr=lr / batch_size
+                        )
+                    print(format_loss_line(seen, metrics))
+
+            log(timer.summary(images=nsamples))
+
+            if (epoch + 1) % settings.save_interval == 0:
+                out = f"{backupdir}/{epoch + 1:06d}.weights"
+                log("save weights to " + out)
+                weights_io.save_weights(
+                    out, [spec.darknet, spec.learnet],
+                    [params["darknet"], params["learnet"]],
                     seen=(epoch + 1) * nsamples,
-                    processed_batches=processed_batches,
                 )
+                if orbax_dir:
+                    from ..train.checkpoint import save_train_state
 
-    if orbax_dir:
-        # commit any in-flight FSD_ASYNC_CKPT=1 background save
-        from ..train.checkpoint import wait_for_saves
+                    save_train_state(
+                        orbax_dir, epoch + 1, params, mom,
+                        seen=(epoch + 1) * nsamples,
+                        processed_batches=processed_batches,
+                    )
 
-        wait_for_saves()
+    finally:
+        if orbax_dir:
+            # commit any in-flight FSD_ASYNC_CKPT=1 background save even on
+            # an exception / KeyboardInterrupt mid-training — otherwise the
+            # background writer thread can die at interpreter exit and leave
+            # a partially staged checkpoint behind
+            from ..train.checkpoint import wait_for_saves
+
+            wait_for_saves()
     return params

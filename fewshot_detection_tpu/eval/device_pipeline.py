@@ -112,8 +112,11 @@ def _pipeline_v2(
     boxes = decoded["boxes"].transpose(0, 2, 3, 1, 4).reshape(bn, -1, 4)
     det = decoded["det_conf"].transpose(0, 2, 3, 1).reshape(bn, -1)
     cls = cls_conf.transpose(0, 2, 3, 1).reshape(bn, -1)
+    # int32 arange: an output.dtype (e.g. bfloat16) index would go inexact
+    # past 256 rows and misroute boxes to the wrong per-class file; cast to
+    # the box dtype only at the concatenate inside _nms_rows
     cls_idx = jnp.repeat(
-        jnp.arange(bn, dtype=output.dtype) % n_cls, boxes.shape[1]
+        jnp.arange(bn, dtype=jnp.int32) % n_cls, boxes.shape[1]
     ).reshape(bn, -1)
 
     # threshold on det*cls (validation semantics, utils.py:255-282) but rank

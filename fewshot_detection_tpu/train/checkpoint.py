@@ -77,7 +77,14 @@ def save_train_state(
 def latest_checkpoint(directory: str) -> str | None:
     if not os.path.isdir(directory):
         return None
-    ckpts = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
+    # Orbax stages async writes as 'ckpt_N.orbax-checkpoint-tmp-<ts>' in the
+    # same directory before the atomic commit rename; a crash mid-save leaves
+    # that partial dir behind and it sorts AFTER the last committed one. Only
+    # committed checkpoints are resume candidates.
+    ckpts = sorted(
+        d for d in os.listdir(directory)
+        if d.startswith("ckpt_") and ".orbax-checkpoint-tmp" not in d
+    )
     return os.path.join(directory, ckpts[-1]) if ckpts else None
 
 
