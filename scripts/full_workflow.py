@@ -1,0 +1,415 @@
+#!/usr/bin/env python3
+"""Full reference workflow on HSV-robust synthetic VOC, end to end on TPU.
+
+Drives the complete base-training + few-shot-tuning recipe of the reference
+(README.md:84-152 in /root/reference) through the REAL CLI drivers:
+
+    data   -> synthetic VOC (shape/texture classes, tests/synth.py style=shape)
+    plain  -> train.py           (vanilla YOLOv2 from scratch)
+    part   -> partial.py         (backbone extraction, darknet19_448.conv.23 analogue)
+    base   -> train_meta.py      (episodic base training, novelid 0)
+    few    -> k-shot list build  (gen_fewlist.py analogue, box-budgeted)
+    tune   -> train_meta.py      (few-shot tuning, dynamic fewset)
+    evalb  -> valid_ensemble + voc_eval on the BASE checkpoint
+    evalt  -> valid_ensemble + voc_eval on the TUNED checkpoint
+
+The round-2 run of this recipe (PERF.md "Full-scale learning on hardware")
+used color-keyed synthetic classes, which the reference-faithful HSV
+augmentation (image.py:19-50) scrambles — streaming meta classification
+plateaued at uniform. This script uses shape x fill-pattern classes whose
+signal survives HSV, flips, and crops, so streaming episodic learning is
+provable at the flagship 416 px cfgs.
+
+Each stage writes <root>/state/<stage>.done and skips when present; TPU
+stages run as subprocesses (one tunnel client at a time) with retries that
+resume from the newest .weights checkpoint.
+
+Usage:
+    python scripts/full_workflow.py --root /tmp/fsd_r3 [--stage STAGE]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+N_TRAIN = 512
+N_TEST = 128
+IMG_SIZE = (256, 256)
+SHOT = 10
+
+TPU_ENV = {
+    "FSD_CLIP_NORM": "10",   # from-random-init stabilizer (opt-in extension)
+    "FSD_DTYPE": "bfloat16",  # halve tunnel H2D image traffic
+}
+
+
+def log(msg):
+    print(f"[workflow {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def done_marker(root, stage):
+    return os.path.join(root, "state", f"{stage}.done")
+
+
+def mark_done(root, stage, payload=None):
+    os.makedirs(os.path.join(root, "state"), exist_ok=True)
+    with open(done_marker(root, stage), "w") as f:
+        json.dump(payload or {}, f)
+
+
+def is_done(root, stage):
+    return os.path.exists(done_marker(root, stage))
+
+
+def patch_cfg(src, dst, max_batches=None, batch=None):
+    txt = open(src).read()
+    if max_batches is not None:
+        txt = re.sub(r"(?m)^max_batches\s*=\s*\d+", f"max_batches={max_batches}", txt)
+    if batch is not None:
+        txt = re.sub(r"(?m)^batch\s*=\s*\d+", f"batch={batch}", txt)
+    open(dst, "w").write(txt)
+    return dst
+
+
+def latest_weights(backupdir):
+    if not os.path.isdir(backupdir):
+        return None
+    ws = sorted(f for f in os.listdir(backupdir) if f.endswith(".weights"))
+    return os.path.join(backupdir, ws[-1]) if ws else None
+
+
+def run_cli(root, name, argv, timeout_s, retries=3, resume_backup=None,
+            resume_argpos=None):
+    """Run a CLI subprocess with the TPU env; on failure (tunnel crash),
+    retry resuming from the newest checkpoint in `resume_backup`."""
+    logdir = os.path.join(root, "logs")
+    os.makedirs(logdir, exist_ok=True)
+    env = dict(os.environ, **TPU_ENV,
+               FSD_COMPILE_CACHE=os.path.join(root, "xla_cache"))
+    for attempt in range(retries):
+        args = list(argv)
+        if attempt and resume_backup and resume_argpos is not None:
+            ckpt = latest_weights(resume_backup)
+            if ckpt:
+                log(f"{name}: retry {attempt} resuming from {ckpt}")
+                args[resume_argpos] = ckpt
+        logfile = os.path.join(logdir, f"{name}.log")
+        log(f"{name}: {' '.join(args)} (log: {logfile})")
+        with open(logfile, "a") as lf:
+            lf.write(f"\n===== attempt {attempt} {time.ctime()} =====\n")
+            lf.flush()
+            try:
+                p = subprocess.run(args, stdout=lf, stderr=subprocess.STDOUT,
+                                   cwd=root, env=env, timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                log(f"{name}: TIMEOUT after {timeout_s}s")
+                continue
+        if p.returncode == 0:
+            return True
+        log(f"{name}: exit {p.returncode}; sleeping 120s before retry "
+            "(tunnel recovery)")
+        time.sleep(120)
+    return False
+
+
+def cls_loss_summary(logfile, tail=50):
+    """Mean loss_cls / nGT over the last `tail` loss lines; random15 = ln 15."""
+    rows = []
+    pat = re.compile(r"nGT (\d+),.* cls ([0-9.]+),")
+    with open(logfile) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                rows.append((int(m.group(1)), float(m.group(2))))
+    rows = rows[-tail:]
+    if not rows:
+        return None
+    per_gt = [c / max(n, 1) for n, c in rows]
+    return {"mean_cls_per_gt": sum(per_gt) / len(per_gt),
+            "random_cls_per_gt": 2.708, "n_lines": len(rows)}
+
+
+# ---------------------------------------------------------------- stages
+
+
+def _force_cpu():
+    """The driver process does config/codec work only — keep it off the TPU
+    tunnel (single-client rule) while its subprocesses own the chip. The
+    tunnel's sitecustomize overrides the JAX_PLATFORMS env var, so this must
+    be a config update after import."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def stage_data(root):
+    _force_cpu()
+    from synth import VOC, make_voc_like
+
+    d = make_voc_like(
+        os.path.join(root, "voc"), n_images=N_TRAIN + N_TEST,
+        size=IMG_SIZE, seed=7, style="shape", box_range=(0.15, 0.45),
+    )
+    img_paths = d["img_paths"]
+    train_imgs = img_paths[:N_TRAIN]
+    test_imgs = img_paths[N_TRAIN:]
+    train_list = os.path.join(root, "voc", "train_split.txt")
+    test_list = os.path.join(root, "voc", "test_split.txt")
+    open(train_list, "w").write("\n".join(train_imgs) + "\n")
+    open(test_list, "w").write("\n".join(test_imgs) + "\n")
+
+    # devkit imagesets: score ONLY the held-out split
+    test_ids = {os.path.basename(p).split(".")[0] for p in test_imgs}
+    main = os.path.join(d["devkit"], "VOC2007", "ImageSets", "Main")
+    for fname in os.listdir(main):
+        if not fname.endswith("test.txt"):
+            continue
+        path = os.path.join(main, fname)
+        rows = [ln for ln in open(path) if ln.split()[0] in test_ids]
+        open(path, "w").writelines(rows)
+
+    # per-class support lists restricted to the TRAIN split (no leakage)
+    train_set = set(train_imgs)
+    voclist = os.path.join(root, "voc", "voclist")
+    os.makedirs(voclist, exist_ok=True)
+    traindict = os.path.join(root, "voc", "traindict_trainsplit.txt")
+    with open(traindict, "w") as df:
+        for cname, lst in d["cls_lists"].items():
+            kept = [p for p in open(lst).read().split() if p in train_set]
+            out = os.path.join(voclist, f"{cname}_train.txt")
+            open(out, "w").write("\n".join(kept) + "\n")
+            if kept:
+                df.write(f"{cname} {out}\n")
+
+    # data cfgs
+    plain_data = os.path.join(root, "plain.data")
+    with open(plain_data, "w") as f:
+        f.write(
+            "metayolo=0\ndata=voc\nneg=0\nrand=0\n"
+            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            f"train={train_list}\nvalid={test_list}\n"
+            f"names={REPO}/data/voc.names\nbackup={root}/backup_plain\ngpus=0\n"
+        )
+    base_data = os.path.join(root, "base.data")
+    with open(base_data, "w") as f:
+        f.write(
+            "metayolo=1\nmetain_type=2\ndata=voc\nneg=1\nrand=0\n"
+            "tuning=0\nrepeat=1\ndynamic=0\n"
+            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            f"meta={traindict}\ntrain={train_list}\nvalid={test_list}\n"
+            f"backup={root}/backup\ngpus=0\n"
+        )
+    patch_cfg(os.path.join(REPO, "cfg/yolo-voc.cfg"),
+              os.path.join(root, "plain.cfg"), max_batches=1600, batch=32)
+    patch_cfg(os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
+              os.path.join(root, "dk.cfg"), max_batches=3500, batch=32)
+
+    # random-init weights for both graphs
+    from fewshot_detection_tpu.config import parse_cfg
+    from fewshot_detection_tpu.models import weights_io
+    from fewshot_detection_tpu.models.darknet import init_params
+    from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+    from fewshot_detection_tpu.models.spec import build_spec
+
+    pspec = build_spec(parse_cfg(os.path.join(root, "plain.cfg")))
+    weights_io.save_weights(os.path.join(root, "plain_init.weights"),
+                            [pspec], [init_params(pspec, 7)], seen=0)
+    mspec = MetaSpec(build_spec(parse_cfg(os.path.join(root, "dk.cfg"))),
+                     build_spec(parse_cfg(os.path.join(REPO, "cfg/reweighting_net.cfg"))))
+    mp = init_meta_params(mspec, 7)
+    weights_io.save_weights(os.path.join(root, "meta_init.weights"),
+                            [mspec.darknet, mspec.learnet],
+                            [mp["darknet"], mp["learnet"]], seen=0)
+    mark_done(root, "data", {"train": N_TRAIN, "test": N_TEST})
+    log("data stage done")
+
+
+def stage_plain(root):
+    ok = run_cli(
+        root, "plain",
+        [sys.executable, os.path.join(REPO, "train.py"),
+         os.path.join(root, "plain.data"), os.path.join(root, "plain.cfg"),
+         os.path.join(root, "plain_init.weights")],
+        timeout_s=90 * 60,
+        resume_backup=os.path.join(root, "backup_plain_novel0"),
+        resume_argpos=4,
+    )
+    ckpt = latest_weights(os.path.join(root, "backup_plain_novel0"))
+    assert ok and ckpt, "plain training failed"
+    mark_done(root, "plain", {"ckpt": ckpt})
+
+
+def stage_part(root):
+    _force_cpu()
+    from partial import partial as partial_fn
+
+    ckpt = latest_weights(os.path.join(root, "backup_plain_novel0"))
+    out = os.path.join(root, "conv23.weights")
+    partial_fn(os.path.join(root, "plain.cfg"), ckpt, out, 23)
+    assert os.path.exists(out)
+    mark_done(root, "part", {"out": out})
+
+
+def stage_base(root):
+    ok = run_cli(
+        root, "base",
+        [sys.executable, os.path.join(REPO, "train_meta.py"),
+         os.path.join(root, "base.data"), os.path.join(root, "dk.cfg"),
+         os.path.join(REPO, "cfg/reweighting_net.cfg"),
+         os.path.join(root, "conv23.weights")],
+        timeout_s=170 * 60,
+        resume_backup=os.path.join(root, "backup_novel0_neg1"),
+        resume_argpos=5,
+    )
+    ckpt = latest_weights(os.path.join(root, "backup_novel0_neg1"))
+    assert ok and ckpt, "base meta training failed"
+    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"))
+    mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
+    log(f"base stage done: {summary}")
+
+
+def stage_few(root):
+    from fewshot_detection_tpu.data.prep import VOC_CLASSES, get_bbox_fewlist
+
+    voclist = os.path.join(root, "voc", "voclist")
+    lists = get_bbox_fewlist(os.path.join(root, "voc", "train_split.txt"),
+                             SHOT, VOC_CLASSES, seed=2018)
+    fewdict = os.path.join(root, "voc", f"voc_traindict_bbox_{SHOT}shot.txt")
+    with open(fewdict, "w") as df:
+        for cname, flist in zip(VOC_CLASSES, lists):
+            out = os.path.join(voclist, f"box_{SHOT}shot_{cname}_train.txt")
+            with open(out, "w") as f:
+                f.writelines(flist)
+            df.write(f"{cname} {out}\n")
+
+    tune_data = os.path.join(root, "tune.data")
+    with open(tune_data, "w") as f:
+        f.write(
+            "metayolo=1\nmetain_type=2\ndata=voc\nneg=0\nrand=0\n"
+            "tuning=1\nmax_epoch=200\nrepeat=20\ndynamic=1\nscale=1\n"
+            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            f"meta={fewdict}\ntrain={root}/voc/train_split.txt\n"
+            f"valid={root}/voc/test_split.txt\nbackup={root}/backup_tune\ngpus=0\n"
+        )
+    mark_done(root, "few", {"dict": fewdict})
+
+
+def stage_tune(root):
+    base_ckpt = json.load(open(done_marker(root, "base")))["ckpt"]
+    # tuning backup dir gets the settings mangle: _novel0_neg0
+    ok = run_cli(
+        root, "tune",
+        [sys.executable, os.path.join(REPO, "train_meta.py"),
+         os.path.join(root, "tune.data"), os.path.join(root, "dk.cfg"),
+         os.path.join(REPO, "cfg/reweighting_net.cfg"), base_ckpt],
+        timeout_s=100 * 60,
+        resume_backup=os.path.join(root, "backup_tune_novel0_neg0"),
+        resume_argpos=5,
+    )
+    bdir = next((os.path.join(root, d) for d in os.listdir(root)
+                 if d.startswith("backup_tune")), None)
+    ckpt = latest_weights(bdir) if bdir else None
+    assert ok and ckpt, "tuning failed"
+    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"))
+    mark_done(root, "tune", {"ckpt": ckpt, "cls": summary})
+    log(f"tune stage done: {summary}")
+
+
+def _eval(root, name, datacfg, ckpt):
+    """valid_ensemble sweep + VOC07 scoring in a subprocess (tunnel client)."""
+    script = os.path.join(root, f"eval_{name}.py")
+    with open(script, "w") as f:
+        f.write(f"""
+import json, os, sys
+sys.path.insert(0, {REPO!r})
+from fewshot_detection_tpu.cli.common import resolve_configs
+from fewshot_detection_tpu.eval.valid import run_valid_ensemble
+from fewshot_detection_tpu.eval.voc_eval import do_python_eval
+
+os.chdir({root!r})
+data_options, dk, ln, settings = resolve_configs(
+    {datacfg!r}, os.path.join({root!r}, "dk.cfg"),
+    os.path.join({REPO!r}, "cfg/reweighting_net.cfg"))
+prefix = run_valid_ensemble(data_options, dk, ln, {ckpt!r}, settings)
+result = do_python_eval(
+    prefix + "/comp4_det_test_",
+    devkit_path=os.path.join({root!r}, "voc", "VOCdevkit"),
+    novel=True, novel_file=os.path.join({REPO!r}, "data/voc_novels.txt"),
+    novelid="0")
+print("EVALJSON " + json.dumps({{
+    "stage": {name!r},
+    "mean_ap": round(float(result["mean"]), 4),
+    "base_mean": round(float(result.get("base_mean", 0.0)), 4),
+    "novel_mean": round(float(result.get("novel_mean", 0.0)), 4),
+    "checkpoint": {ckpt!r}}}))
+""")
+    env_extra = {"FSD_EVAL_BATCH": "16", "FSD_DEVICE_NMS": "1"}
+    os.environ.update(env_extra)
+    ok = run_cli(root, f"eval_{name}", [sys.executable, script],
+                 timeout_s=120 * 60, retries=2)
+    for k in env_extra:
+        os.environ.pop(k, None)
+    assert ok, f"eval {name} failed"
+    out = None
+    for line in open(os.path.join(root, "logs", f"eval_{name}.log")):
+        if line.startswith("EVALJSON "):
+            out = json.loads(line[len("EVALJSON "):])
+    assert out, "no EVALJSON line"
+    return out
+
+
+def stage_evalb(root):
+    ckpt = json.load(open(done_marker(root, "base")))["ckpt"]
+    res = _eval(root, "base", os.path.join(root, "base.data"), ckpt)
+    mark_done(root, "evalb", res)
+    log(f"base eval: {res}")
+
+
+def stage_evalt(root):
+    ckpt = json.load(open(done_marker(root, "tune")))["ckpt"]
+    res = _eval(root, "tune", os.path.join(root, "tune.data"), ckpt)
+    mark_done(root, "evalt", res)
+    log(f"tuned eval: {res}")
+
+
+STAGES = [
+    ("data", stage_data), ("plain", stage_plain), ("part", stage_part),
+    ("base", stage_base), ("few", stage_few), ("tune", stage_tune),
+    ("evalb", stage_evalb), ("evalt", stage_evalt),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/fsd_r3")
+    ap.add_argument("--stage", default=None,
+                    help="run only this stage (default: all remaining)")
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+
+    for name, fn in STAGES:
+        if args.stage and name != args.stage:
+            continue
+        if is_done(args.root, name) and not args.stage:
+            log(f"{name}: already done, skipping")
+            continue
+        log(f"=== stage {name} ===")
+        fn(args.root)
+
+    summary = {}
+    for name, _ in STAGES:
+        if is_done(args.root, name):
+            summary[name] = json.load(open(done_marker(args.root, name)))
+    print("WORKFLOW " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

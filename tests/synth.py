@@ -12,9 +12,64 @@ VOC = ["aeroplane", "bicycle", "bird", "boat", "bottle",
        "sheep", "sofa", "train", "tvmonitor"]
 
 
-def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0):
+def _shape_mask(shape, u, v):
+    """Filled silhouette on normalized box coords u,v in [-1, 1].
+    All five are symmetric under horizontal flip, so the reference's random
+    hflip augmentation (image.py:36-39) cannot swap classes."""
+    if shape == 0:  # disk
+        return u * u + v * v <= 1.0
+    if shape == 1:  # square (full box)
+        return (np.abs(u) <= 1.0) & (np.abs(v) <= 1.0)
+    if shape == 2:  # triangle, apex top-center
+        return (np.abs(v) <= 1.0) & (np.abs(u) <= (v + 1.0) / 2.0)
+    if shape == 3:  # plus
+        return ((np.abs(u) <= 1 / 3) & (np.abs(v) <= 1.0)) | (
+            (np.abs(v) <= 1 / 3) & (np.abs(u) <= 1.0)
+        )
+    return np.abs(u) + np.abs(v) <= 1.0  # diamond
+
+
+def paint_shape_object(arr, cls, x1, y1, x2, y2, color):
+    """Paint class `cls` as silhouette (cls//4 of 5) x fill pattern (cls%4
+    of 4) in one flat `color`. The class signal is entirely geometric
+    (shape + within-object texture), so it survives the reference's
+    whole-image HSV distortion (hue +-0.1, sat/exposure x1.5,
+    image.py:19-50) which scrambles absolute color — the failure mode that
+    stalled streaming meta classification on color-keyed synth classes
+    (PERF.md round 2)."""
+    h, w = y2 - y1, x2 - x1
+    if h < 2 or w < 2:
+        arr[y1:y2, x1:x2] = color
+        return
+    yy, xx = np.mgrid[0:h, 0:w]
+    u = (xx + 0.5) / w * 2.0 - 1.0
+    v = (yy + 0.5) / h * 2.0 - 1.0
+    shape, fill = cls // 4, cls % 4
+    m = _shape_mask(shape, u, v)
+    if fill == 1:  # hollow: silhouette minus a 0.55-scaled copy
+        m &= ~_shape_mask(shape, u / 0.55, v / 0.55)
+    elif fill == 2:  # checkerboard, ~4 cells per short side
+        cell = max(2, min(h, w) // 4)
+        m &= ((xx // cell) + (yy // cell)) % 2 == 0
+    elif fill == 3:  # horizontal stripes, ~5 bands tall
+        band = max(2, h // 5)
+        m &= (yy // band) % 2 == 0
+    region = arr[y1:y2, x1:x2]
+    region[m] = color
+    arr[y1:y2, x1:x2] = region
+
+
+def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0,
+                  style="color", box_range=(0.1, 0.4)):
     """Create images/, labels/, labels_1c/, list + dict files under root.
-    Returns dict of useful paths."""
+    Returns dict of useful paths.
+
+    style="color": one fixed bright color per class (round-1 fixture; NOT
+    robust to the training-time HSV augmentation).
+    style="shape": class = silhouette x fill-pattern drawn in a random
+    bright color per instance, so color carries zero class information and
+    the class signal survives HSV distortion, flips, and crops. Use a
+    larger `size` (e.g. (256, 256)) so textures keep >= 4 px of structure."""
     rng = random.Random(seed)
     nprng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
@@ -27,6 +82,7 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0)
 
     per_class_imgs = {c: [] for c in range(20)}
     img_paths = []
+    lo, hi = box_range
     for i in range(n_images):
         w, h = size
         arr = nprng.randint(0, 60, (h, w, 3), np.uint8)  # dark noise bg
@@ -38,15 +94,19 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0)
         for j in range(rng.randint(1, classes_per_image)):
             cls = (i % 20) if j == 0 else rng.randrange(20)
             cx, cy = rng.uniform(0.25, 0.75), rng.uniform(0.25, 0.75)
-            bw, bh = rng.uniform(0.1, 0.4), rng.uniform(0.1, 0.4)
+            bw, bh = rng.uniform(lo, hi), rng.uniform(lo, hi)
             rows.append((cls, cx, cy, bw, bh))
             per_class_imgs[cls].append((path, (cls, cx, cy, bw, bh)))
-            # paint the object: a solid class-colored rectangle
             x1 = max(0, int((cx - bw / 2) * w))
             y1 = max(0, int((cy - bh / 2) * h))
             x2 = min(w, int((cx + bw / 2) * w))
             y2 = min(h, int((cy + bh / 2) * h))
-            arr[y1:y2, x1:x2] = cls_colors[cls]
+            if style == "shape":
+                color = (nprng.rand(3) * 135 + 120).astype(np.uint8)
+                paint_shape_object(arr, cls, x1, y1, x2, y2, color)
+            else:
+                # solid class-colored rectangle
+                arr[y1:y2, x1:x2] = cls_colors[cls]
         Image.fromarray(arr).save(path)
         with open(os.path.join(lab_dir, f"im{i:03d}.txt"), "w") as f:
             for r in rows:
