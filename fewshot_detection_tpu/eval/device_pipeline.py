@@ -41,7 +41,7 @@ def _nms_rows(bsel, dsel, cconf, cid, nms_thresh, use_pallas, interpret):
     return rows, keep & (dsel > 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _pipeline(
     output: jax.Array,
     anchors: tuple[tuple[float, float], ...],
@@ -51,7 +51,15 @@ def _pipeline(
     top_k: int,
     use_pallas: bool,
     interpret: bool,
+    validation: bool = False,
 ):
+    """validation=False: serving semantics — threshold on objectness alone
+    (utils.py:112-193 only_objectness default). validation=True: the mAP
+    sweeps' semantics — threshold on det*max_cls_conf (valid.py:60 passes
+    only_objectness=False) — and additionally return per-image candidate
+    counts plus the full per-candidate class-confidence rows so the host
+    can (a) fall back when the fixed buffer would truncate and (b) emit the
+    reference's extra (cls_conf, cls_id) validation pairs."""
     decoded = decode_region_output(output, anchors, num_classes)
     b = output.shape[0]
     # flatten candidates in the host loop order (cy, cx, anchor) so NMS
@@ -59,24 +67,36 @@ def _pipeline(
     boxes = decoded["boxes"].transpose(0, 2, 3, 1, 4).reshape(b, -1, 4)
     det = decoded["det_conf"].transpose(0, 2, 3, 1).reshape(b, -1)
     cls = jax.nn.softmax(decoded["cls_logits"], axis=-1)
-    cls_max = cls.max(axis=-1).transpose(0, 2, 3, 1).reshape(b, -1)
-    cls_id = cls.argmax(axis=-1).transpose(0, 2, 3, 1).reshape(b, -1)
+    cls_full = cls.transpose(0, 2, 3, 1, 4).reshape(b, -1, cls.shape[-1])
+    cls_max = cls_full.max(axis=-1)
+    cls_id = cls_full.argmax(axis=-1)
 
-    scores = jnp.where(det > conf_thresh, det, 0.0)
+    conf = det * cls_max if validation else det
+    mask = conf > conf_thresh
+    # rank + NMS on objectness. The host sorts ascending on the fp32 key
+    # (1 - det) with a STABLE argsort (ops.boxes.nms, utils.py:85-104);
+    # dets that collide after that rounding must stay ties here too, so
+    # rank on -(1 - det) rather than raw det. Masked-out candidates get a
+    # sentinel below any real key (keys live in (-1, 0]).
+    scores = jnp.where(mask, -(jnp.float32(1.0) - det.astype(jnp.float32)),
+                       jnp.float32(-2.0))
+    top_k = min(top_k, scores.shape[-1])  # buffer can cover ALL candidates
     top_scores, idx = jax.lax.top_k(scores, top_k)  # descending, stable
+    counts = mask.sum(axis=-1, dtype=jnp.int32)
 
-    def per_image(bx, dt, cm, ci, sc, ix):
+    def per_image(bx, dt, cm, ci, cf, sc, ix):
         bsel = bx[ix]
-        dsel = jnp.where(sc > 0, dt[ix], 0.0)
+        dsel = jnp.where(sc > -1.5, dt[ix], 0.0)
         # top_k output is already conf-descending, so NMS order == identity
         # and `keep` aligns with the buffer rows
-        return _nms_rows(bsel, dsel, cm[ix], ci[ix], nms_thresh,
-                         use_pallas, interpret)
+        rows, keep = _nms_rows(bsel, dsel, cm[ix], ci[ix], nms_thresh,
+                               use_pallas, interpret)
+        return rows, keep, cf[ix]
 
-    rows, keep = jax.vmap(per_image)(
-        boxes, det, cls_max, cls_id, top_scores, idx
+    rows, keep, csel = jax.vmap(per_image)(
+        boxes, det, cls_max, cls_id, cls_full, top_scores, idx
     )
-    return rows, keep
+    return rows, keep, counts, csel
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
@@ -112,6 +132,7 @@ def _pipeline_v2(
     boxes = decoded["boxes"].transpose(0, 2, 3, 1, 4).reshape(bn, -1, 4)
     det = decoded["det_conf"].transpose(0, 2, 3, 1).reshape(bn, -1)
     cls = cls_conf.transpose(0, 2, 3, 1).reshape(bn, -1)
+    cls_full = sm.transpose(0, 2, 3, 1, 4).reshape(bn, -1, sm.shape[-1])
     # int32 arange: an output.dtype (e.g. bfloat16) index would go inexact
     # past 256 rows and misroute boxes to the wrong per-class file; cast to
     # the box dtype only at the concatenate inside _nms_rows
@@ -122,17 +143,25 @@ def _pipeline_v2(
     # threshold on det*cls (validation semantics, utils.py:255-282) but rank
     # and NMS on objectness — the host nms key (utils.py:85-104)
     mask = det * cls > conf_thresh
-    scores = jnp.where(mask, det, 0.0)
+    # same stable ranking key as the host nms: -(1 - det) in fp32 (see
+    # _pipeline); sentinel -2 pushes masked-out candidates past the end
+    scores = jnp.where(mask, -(jnp.float32(1.0) - det.astype(jnp.float32)),
+                       jnp.float32(-2.0))
+    top_k = min(top_k, scores.shape[-1])  # buffer can cover ALL candidates
     top_scores, idx = jax.lax.top_k(scores, top_k)
+    counts = mask.sum(axis=-1, dtype=jnp.int32)
 
-    def per_row(bx, dt, cl, cidx, sc, ix):
+    def per_row(bx, dt, cl, cidx, cf, sc, ix):
         bsel = bx[ix]
-        dsel = jnp.where(sc > 0, dt[ix], 0.0)
-        return _nms_rows(bsel, dsel, cl[ix], cidx[ix], nms_thresh,
-                         use_pallas, interpret)
+        dsel = jnp.where(sc > -1.5, dt[ix], 0.0)
+        rows, keep = _nms_rows(bsel, dsel, cl[ix], cidx[ix], nms_thresh,
+                               use_pallas, interpret)
+        return rows, keep, cf[ix]
 
-    rows, keep = jax.vmap(per_row)(boxes, det, cls, cls_idx, top_scores, idx)
-    return rows, keep
+    rows, keep, csel = jax.vmap(per_row)(
+        boxes, det, cls, cls_idx, cls_full, top_scores, idx
+    )
+    return rows, keep, counts, csel
 
 
 class DevicePipeline:
@@ -151,22 +180,38 @@ class DevicePipeline:
         top_k: int = 128,
         use_pallas: bool | None = None,
         interpret: bool | None = None,
+        validation: bool = False,
     ):
         self.anchors = region.anchor_wh
         self.num_classes = region.num_classes
         self.conf_thresh = conf_thresh
         self.nms_thresh = nms_thresh
         self.top_k = top_k
+        self.validation = validation
         on_tpu = jax.default_backend() == "tpu"
         self.use_pallas = on_tpu if use_pallas is None else use_pallas
         self.interpret = (not on_tpu) if interpret is None else interpret
 
-    def device_call(self, output: jax.Array):
-        """(rows, keep) device arrays — for fully on-device consumers."""
+    def eval_call(self, output: jax.Array):
+        """(rows, keep, counts, csel) device arrays."""
         return _pipeline(
             output, self.anchors, self.num_classes, self.conf_thresh,
             self.nms_thresh, self.top_k, self.use_pallas, self.interpret,
+            self.validation,
         )
+
+    def device_call(self, output: jax.Array):
+        """(rows, keep) device arrays — for fully on-device consumers."""
+        return self.eval_call(output)[:2]
+
+    def eval_boxes(self, output: jax.Array):
+        """Post-NMS per-image box lists in the host sweep's exact format
+        (incl. the reference's extra validation (cls_conf, cls_id) pairs),
+        or None when any image's candidate count exceeds the fixed buffer
+        — the caller then redoes that batch on the host path so the result
+        files stay bit-identical in every regime."""
+        return _rows_to_eval_boxes(*self.eval_call(output),
+                                   self.conf_thresh, self.top_k)
 
     def __call__(self, output: jax.Array) -> list[list[list[float]]]:
         rows, keep = self.device_call(output)
@@ -185,6 +230,41 @@ def _to_box_lists(rows, keep) -> list[list[list[float]]]:
                 img.append(
                     [float(v) for v in row[:6]] + [int(round(float(row[6])))]
                 )
+        out.append(img)
+    return out
+
+
+def _rows_to_eval_boxes(rows, keep, counts, csel, conf_thresh, top_k):
+    """Convert eval_call output into the host sweep's box-list format:
+    [cx, cy, w, h, det, cls_conf, cls_id, (extra cls_conf, cls_id)...] per
+    kept box — the `validation=True` contract of ops.boxes.filter_boxes
+    (utils.py:160-184 in /root/reference). Returns None when the fixed
+    buffer truncated (any candidate count > top_k)."""
+    counts = np.asarray(counts)
+    if counts.size and counts.max() > top_k:
+        return None
+    rows = np.asarray(rows)
+    keep = np.asarray(keep)
+    csel = np.asarray(csel)
+    n_classes = csel.shape[-1]
+    out = []
+    for b in range(rows.shape[0]):
+        img = []
+        for r in range(rows.shape[1]):
+            if not keep[b, r]:
+                continue
+            row = rows[b, r]
+            box = [float(v) for v in row[:6]] + [int(round(float(row[6])))]
+            if n_classes > 1:
+                # `best` from the class-conf row itself: box[6] is the
+                # argmax id for the plain pipeline but the class-COPY index
+                # for the meta one (the writers key on row position there)
+                det, best = box[4], int(np.argmax(csel[b, r]))
+                for c in range(n_classes):
+                    tc = float(csel[b, r, c])
+                    if c != best and det * tc > conf_thresh:
+                        box.extend([tc, c])
+            img.append(box)
         out.append(img)
     return out
 
@@ -220,13 +300,24 @@ class MetaDevicePipeline:
         self.use_pallas = on_tpu if use_pallas is None else use_pallas
         self.interpret = (not on_tpu) if interpret is None else interpret
 
-    def device_call(self, output: jax.Array):
-        """(rows, keep) device arrays, leading dim B*n_cls image-major."""
+    def eval_call(self, output: jax.Array):
+        """(rows, keep, counts, csel) device arrays, leading dim B*n_cls
+        image-major."""
         return _pipeline_v2(
             output, self.n_cls, self.anchors, self.num_classes,
             self.conf_thresh, self.nms_thresh, self.top_k,
             self.use_pallas, self.interpret,
         )
+
+    def device_call(self, output: jax.Array):
+        """(rows, keep) device arrays, leading dim B*n_cls image-major."""
+        return self.eval_call(output)[:2]
+
+    def eval_boxes(self, output: jax.Array):
+        """Post-NMS per-(image, class) box lists in the host sweep's exact
+        format, or None when the fixed buffer truncated (host fallback)."""
+        return _rows_to_eval_boxes(*self.eval_call(output),
+                                   self.conf_thresh, self.top_k)
 
     def __call__(self, output: jax.Array) -> list[list[list[float]]]:
         """B*n_cls per-(image, class) box lists, ``[cx, cy, w, h, det_conf,

@@ -38,6 +38,27 @@ NMS_THRESH = 0.45
 nms = _host_nms
 
 
+def _device_pipe(region, n_cls: int | None = None):
+    """FSD_DEVICE_NMS=1 routes the sweep's decode + per-(image[,class]) NMS
+    through the jitted fixed-buffer device pipeline (PERF.md: 9.4 ms vs
+    ~25 s/batch for the meta case) — the replacement for the reference's
+    host hot loop (valid_ensemble.py:137-178 -> utils.py:195-290). The
+    fixed candidate buffer (FSD_DEVICE_NMS_K, default 256) falls back to
+    the host path for any batch it would truncate, so result files are
+    identical in every regime."""
+    if os.environ.get("FSD_DEVICE_NMS") != "1":
+        return None
+    from .device_pipeline import DevicePipeline, MetaDevicePipeline
+
+    top_k = int(os.environ.get("FSD_DEVICE_NMS_K", "256"))
+    if n_cls is None:
+        return DevicePipeline(region, conf_thresh=CONF_THRESH,
+                              nms_thresh=NMS_THRESH, top_k=top_k,
+                              validation=True)
+    return MetaDevicePipeline(region, n_cls, conf_thresh=CONF_THRESH,
+                              nms_thresh=NMS_THRESH, top_k=top_k)
+
+
 def eval_batch_size(default: int = 2) -> int:
     """The reference swept validation at batch 2 (valid.py:37); raise it
     with FSD_EVAL_BATCH for TPU-sized batches."""
@@ -105,19 +126,22 @@ def run_valid(
         filter_valid=False,
     )
     fps = _open_result_files(prefix, names, outfile)
+    pipe = _device_pipe(m.region)
     line_id = -1
     for imgs, _ in ds.batches(batch_size, drop_last=False):
         output = m(imgs)
-        batch_boxes = get_region_boxes(
-            output, CONF_THRESH, n_cls, m.region.anchor_wh,
-            only_objectness=False, validation=True,
-        )
-        for boxes in batch_boxes:
+        final = pipe.eval_boxes(output) if pipe is not None else None
+        if final is None:  # host path, or device buffer would truncate
+            batch_boxes = get_region_boxes(
+                output, CONF_THRESH, n_cls, m.region.anchor_wh,
+                only_objectness=False, validation=True,
+            )
+            final = [nms(boxes, NMS_THRESH) for boxes in batch_boxes]
+        for boxes in final:
             line_id += 1
             imgpath = ds.lines[line_id]
             imgid = os.path.basename(imgpath).split(".")[0]
             width, height = get_image_size(imgpath)
-            boxes = nms(boxes, NMS_THRESH)
             # plain sweep routes every (conf, cls) pair to that class's file
             for box in boxes:
                 for j in range((len(box) - 5) // 2):
@@ -219,6 +243,7 @@ def run_valid_meta(
     settings: Settings,
     outfile: str = "comp4_det_test_",
     batch_size: int | None = None,
+    rng=None,
 ) -> str:
     """Per-batch support codes (valid_meta.py): each detection batch uses a
     fresh support batch from the (train=False) meta stream.
@@ -232,8 +257,10 @@ def run_valid_meta(
     prefix = results_prefix(weightfile, "e")
     print("saving to: " + prefix)
 
+    # support selection is random per batch, as in the reference's eval
+    # loader (dataset.py:345-348); `rng` pins it for parity tests
     metaset = MetaDataset(data_options["meta"], settings, train=False,
-                          num_replicas=1)
+                          num_replicas=1, rng=rng)
     n_cls = len(metaset.classes)
     meta_iter = metaset.batches(n_cls)
 
@@ -242,33 +269,48 @@ def run_valid_meta(
         shuffle=False, train=False, filter_valid=False,
     )
     fps = _open_result_files(prefix, metaset.classes, outfile)
+    pipe = _device_pipe(m.region, n_cls)
     line_id = -1
     for imgs, _ in ds.batches(batch_size, drop_last=False):
         metax, mask = next(meta_iter)
         codes = m.class_codes(metax, mask)
         output = m.detect(imgs, codes)
-        batch_boxes = get_region_boxes_v2(
-            output, n_cls, CONF_THRESH, m.region.num_classes,
-            m.region.anchor_wh, only_objectness=False, validation=True,
-        )
+        batch_boxes, done = _meta_batch_boxes(m, output, pipe, n_cls)
         line_id = _write_meta_batch(
-            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id
+            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id,
+            apply_nms=not done,
         )
     for fp in fps:
         fp.close()
     return prefix
 
 
-def _write_meta_batch(fps, batch_boxes, ds, bs, n_cls, line_id):
+def _write_meta_batch(fps, batch_boxes, ds, bs, n_cls, line_id,
+                      apply_nms=True):
     for b in range(bs):
         line_id += 1
         imgpath = ds.lines[line_id]
         imgid = os.path.basename(imgpath).split(".")[0]
         width, height = get_image_size(imgpath)
         for i in range(n_cls):
-            boxes = nms(batch_boxes[b * n_cls + i], NMS_THRESH)
+            boxes = batch_boxes[b * n_cls + i]
+            if apply_nms:  # device-pipeline rows arrive already NMS'd
+                boxes = nms(boxes, NMS_THRESH)
             _write_boxes(fps[i], imgid, boxes, width, height)
     return line_id
+
+
+def _meta_batch_boxes(m, output, pipe, n_cls):
+    """(box_lists, already_nms'd) for one meta sweep batch — the device
+    pipeline when enabled and its buffer suffices, else the host decode."""
+    if pipe is not None:
+        final = pipe.eval_boxes(output)
+        if final is not None:
+            return final, True
+    return get_region_boxes_v2(
+        output, n_cls, CONF_THRESH, m.region.num_classes,
+        m.region.anchor_wh, only_objectness=False, validation=True,
+    ), False
 
 
 def _meta_sweep(m, data_options, settings, prefix, outfile, codes, n_cls,
@@ -278,15 +320,14 @@ def _meta_sweep(m, data_options, settings, prefix, outfile, codes, n_cls,
         shuffle=False, train=False, filter_valid=False,
     )
     fps = _open_result_files(prefix, class_names, outfile)
+    pipe = _device_pipe(m.region, n_cls)
     line_id = -1
     for imgs, _ in ds.batches(batch_size, drop_last=False):
         output = m.detect(imgs, codes)
-        batch_boxes = get_region_boxes_v2(
-            output, n_cls, CONF_THRESH, m.region.num_classes,
-            m.region.anchor_wh, only_objectness=False, validation=True,
-        )
+        batch_boxes, done = _meta_batch_boxes(m, output, pipe, n_cls)
         line_id = _write_meta_batch(
-            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id
+            fps, batch_boxes, ds, imgs.shape[0], n_cls, line_id,
+            apply_nms=not done,
         )
     for fp in fps:
         fp.close()
