@@ -23,7 +23,11 @@ import time
 
 import numpy as np
 
-REF_IMG_PER_SEC_PER_GPU = 30.0  # estimated torch-0.3 per-GPU fwd+bwd rate
+# Derived torch-0.3 per-GPU fwd+bwd rate: central estimate 29.4 img/s/GPU,
+# bounds [19.8, 40.2] — see BASELINE.md "Derived reference throughput" and
+# scripts/derive_baseline.py (measured host build_targets cost + published
+# YOLOv2 FLOPs / era-GPU efficiency).
+REF_IMG_PER_SEC_PER_GPU = 30.0
 
 BATCH = 384
 N_CLS = 15
