@@ -199,8 +199,23 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                     metax, mask = next(meta_iter)
                     yield imgs, labels, metax, mask
 
+            # FSD_WORKERS=N: N loader worker PROCESSES (the reference's
+            # torch num_workers, train_meta.py:173-183) — the GIL-bound
+            # decode path cannot scale on the prefetch thread alone
+            n_workers = int(os.environ.get("FSD_WORKERS", "0"))
+            mp_loader = None
+            if n_workers > 0:
+                from ..data.mploader import MPLoader, episode_stream
+
+                mp_loader = MPLoader(
+                    episode_stream,
+                    (trainlist, data_options["meta"], settings, batch_size,
+                     seen),
+                    num_workers=n_workers, seed=rng.randrange(2**31),
+                )
+
             with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
-                it = prefetch(episodes())
+                it = iter(mp_loader) if mp_loader else prefetch(episodes())
                 while True:
                     with timer.phase("data"):
                         nxt = next(it, None)
@@ -224,6 +239,8 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                         )
                     print(format_loss_line(seen, metrics))
 
+            if mp_loader is not None:
+                mp_loader.close()
             log(timer.summary(images=nsamples))
 
             if (epoch + 1) % settings.save_interval == 0:

@@ -92,7 +92,21 @@ def main(datacfg, cfgfile, weightfile):
             f"epoch {epoch}/{max_epochs}, processed {epoch * nsamples} "
             f"samples, lr {lr:f}"
         )
-        for imgs, labels in prefetch(ds.batches(batch_size)):
+        # FSD_WORKERS=N: N loader worker processes (torch num_workers
+        # analogue); default keeps the single prefetch thread
+        n_workers = int(os.environ.get("FSD_WORKERS", "0"))
+        if n_workers > 0:
+            from ..data.mploader import MPLoader, detection_stream
+
+            loader = MPLoader(
+                detection_stream,
+                (trainlist, settings, batch_size, seen),
+                num_workers=n_workers, seed=rng.randrange(2**31),
+            )
+        else:
+            loader = None
+        for imgs, labels in (iter(loader) if loader
+                             else prefetch(ds.batches(batch_size))):
             lr = lr_schedule(processed_batches, learning_rate, steps, scales)
             processed_batches += 1
             B = imgs.shape[0]
@@ -116,6 +130,8 @@ def main(datacfg, cfgfile, weightfile):
                 params, mom, batch, seen=seen, lr=lr / batch_size
             )
             print(format_loss_line(seen, metrics))
+        if loader is not None:
+            loader.close()
         log(
             "training with %f samples/s"
             % (nsamples / max(time.time() - t0, 1e-9))

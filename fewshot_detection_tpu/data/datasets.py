@@ -162,10 +162,26 @@ class DetectionDataset:
         self.train = train
         self.shape = shape or (settings.width, settings.height)
         self.seen = seen
-        self.native = _native_pipe()
+        self._native = _native_pipe()
+        self._native_init = True
         # scale switches must land on batch boundaries; batches() sets this
         # to the actual batch size (the reference hardcoded its 64)
         self._rescale_every = 64
+
+    @property
+    def native(self):
+        # lazily (re)constructed so the dataset survives pickling into
+        # multi-process loader workers (the ctypes handle does not)
+        if not self._native_init:
+            self._native = _native_pipe()
+            self._native_init = True
+        return self._native
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_native"] = None
+        state["_native_init"] = False
+        return state
 
     def __len__(self) -> int:
         return len(self.lines)
@@ -231,22 +247,96 @@ class DetectionDataset:
         )
         return arr, p.flip, p.dx, p.dy, p.sx, p.sy
 
-    def batches(self, batch_size: int, drop_last: bool = True):
+    def batches(self, batch_size: int, drop_last: bool = True,
+                offset: int = 0, stride: int = 1):
         """Yield stacked (images (B,H,W,3), labels) numpy batches. All images
         in a batch share one scale: the multiscale schedule only switches at
-        batch boundaries."""
+        batch boundaries.
+
+        `offset`/`stride` partition batches across multi-process loader
+        workers (worker w of W yields batches w, w+W, ...) — the reference's
+        torch num_workers semantics (train_meta.py:173-183). `seen` (and so
+        the multiscale width range) is pinned to the batch index so every
+        worker sees the sequential schedule.
+
+        FSD_NATIVE_BATCH=1 (with FSD_NATIVE=1) decodes each batch through
+        the C++ pipeline's pthread batch API instead of per-image calls —
+        identical outputs, scales with host cores."""
         # the smallest multiple of the batch size >= the reference's
         # 64-sample block
         self._rescale_every = ((64 + batch_size - 1) // batch_size) * batch_size
         n = len(self.lines)
         end = n - (n % batch_size) if drop_last else n
-        for start in range(0, end, batch_size):
+        seen0 = self.seen
+        use_native_batch = (
+            os.environ.get("FSD_NATIVE_BATCH", "0") == "1"
+            and self.native is not None
+        )
+        for start in range(offset * batch_size, end, stride * batch_size):
+            if stride > 1:
+                self.seen = seen0 + start
+            stop = min(start + batch_size, n)
+            if use_native_batch:
+                yield self._native_batch(start, stop)
+                continue
             imgs, labels = [], []
-            for i in range(start, min(start + batch_size, n)):
+            for i in range(start, stop):
                 im, lb = self[i]
                 imgs.append(im)
                 labels.append(lb)
             yield np.stack(imgs), np.stack(labels)
+
+    def _native_batch(self, start: int, stop: int):
+        """One batch through the native pthread batch API: augmentation
+        parameters are drawn per image from the SAME python rng stream as
+        the per-image path (so outputs are identical), then all decodes +
+        augments run threaded in C++."""
+        s = self.settings
+        paths, metas = [], []
+        for i in range(start, stop):
+            imgpath = self.lines[i]
+            self._maybe_rescale(i)
+            if self.train:
+                ow, oh = self.native.image_size(imgpath)
+                p = sample_augment_params(
+                    ow, oh, self.rng, jitter=JITTER, hue=HUE,
+                    saturation=SATURATION, exposure=EXPOSURE,
+                )
+            else:
+                p = None
+            paths.append(imgpath)
+            metas.append(p)
+            self.seen += 1
+        if self.train:
+            params = np.asarray(
+                [[p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                  p.dhue, p.dsat, p.dexp] for p in metas], np.float32,
+            )
+        else:
+            params = None
+        batch, fails = self.native.load_batch(
+            paths, self.shape[0], self.shape[1], params
+        )
+        if fails:
+            raise IOError(f"native batch decode failed for {fails} images")
+        labels = []
+        for imgpath, p in zip(paths, metas):
+            labpath = get_labpath(imgpath)
+            flip = p.flip if p else 0
+            dx, dy = (p.dx, p.dy) if p else (0.0, 0.0)
+            sx, sy = (p.sx, p.sy) if p else (1.0, 1.0)
+            if s.metayolo:
+                labels.append(fill_truth_detection_meta(
+                    labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy, s.base_ids
+                ))
+            else:
+                imgid = os.path.basename(imgpath).split(".")[0]
+                joint = s.yolo_joint and imgid in s.metaids
+                labels.append(fill_truth_detection(
+                    labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy, s.base_ids,
+                    joint_keep=joint,
+                ))
+        return batch, np.stack(labels)
 
 
 class MetaDataset:

@@ -182,15 +182,24 @@ class MetaDetector:
         )
 
         self._detect_int8 = None
+        self._codes_int8 = None
 
-    def quantize_int8(self, calib_images: np.ndarray, dynamic_weights) -> None:
-        """int8 MXU serving for the detection sweep (the per-image hot path
-        of valid/ensemble eval): fold BN into the backbone convs, quantize
-        them per-channel, calibrate activation scales on `calib_images`.
-        The class codes do not influence the pre-reweighting activations,
-        so any representative `dynamic_weights` work for calibration. The
-        learnet (runs once per checkpoint) and the dynamic reweight + head
-        stay bf16."""
+    def quantize_int8(self, calib_images: np.ndarray, dynamic_weights,
+                      calib_support=None, quant_head: bool = False) -> None:
+        """int8 MXU serving for the META path: fold BN into the backbone
+        convs, quantize them per-channel, calibrate activation scales on
+        `calib_images`. The class codes do not influence the
+        pre-reweighting activations, so any representative
+        `dynamic_weights` work for calibration.
+
+        `calib_support=(metax, mask)` additionally quantizes the LEARNET —
+        the network ensemble eval's phase 1 runs over EVERY support image
+        (valid_ensemble.py:88-100 in /root/reference), thousands of images
+        per checkpoint at real VOC scale; class_codes() then serves int8.
+
+        `quant_head=True` also runs the fused reweight+head contraction on
+        the int8 MXU (the effective per-class weights are re-quantized on
+        device each call since they depend on the sweep's codes)."""
         from ..models.darknet import fold_batchnorm, folded_spec
         from ..models.quant import _is_quantizable, quantize_weights
 
@@ -199,10 +208,17 @@ class MetaDetector:
         qd = quantize_weights(dfspec, dfolded)
         qspec = MetaSpec(dfspec, self.spec.learnet)
 
+        dyn_idx = next(
+            (l.index for l in dfspec.layers if l.kind == "conv" and l.dynamic),
+            None,
+        )
         absmax: dict[int, float] = {}
 
         def observe(idx, x):
-            if _is_quantizable(dfspec, dfspec.layers[idx]):
+            quantizable = _is_quantizable(dfspec, dfspec.layers[idx]) or (
+                quant_head and idx == dyn_idx
+            )
+            if quantizable:
                 m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
                 absmax[idx] = max(absmax.get(idx, 0.0), m)
 
@@ -224,6 +240,53 @@ class MetaDetector:
             )[0].astype(jnp.float32)
         )
 
+        if calib_support is not None:
+            self._quantize_learnet(calib_support)
+
+    def _quantize_learnet(self, calib_support) -> None:
+        """Fold + per-channel-quantize the learnet convs, calibrate their
+        input scales on a support batch, and route class_codes() through
+        the int8 graph."""
+        from ..models.darknet import fold_batchnorm, folded_spec
+        from ..models.quant import _is_quantizable, quantize_weights
+
+        lfspec = folded_spec(self.spec.learnet)
+        lfolded = fold_batchnorm(self.spec.learnet, self.params["learnet"])
+        ql = quantize_weights(lfspec, lfolded)
+        # keep the (unquantized, folded) darknet for the feat_layer stem
+        dfspec = folded_spec(self.spec.darknet)
+        dfolded = fold_batchnorm(self.spec.darknet, self.params["darknet"])
+        lqspec = MetaSpec(dfspec, lfspec)
+
+        absmax: dict[int, float] = {}
+
+        def observe(idx, x):
+            if _is_quantizable(lfspec, lfspec.layers[idx]):
+                m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                absmax[idx] = max(absmax.get(idx, 0.0), m)
+
+        metax, mask = calib_support
+        meta_mod.meta_forward(
+            lqspec, {"darknet": dfolded, "learnet": lfolded},
+            jnp.asarray(metax, jnp.float32).astype(self.compute_dtype),
+            jnp.asarray(mask, jnp.float32).astype(self.compute_dtype),
+            metain_type=self.metain_type, train=False, observe=observe,
+        )
+        lscales = {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
+        self.learnet_act_scales = lscales
+        self.lqparams = _commit({"darknet": dfolded, "learnet": ql}, self.mesh)
+        dtype = self.compute_dtype
+        self._codes_int8 = jax.jit(
+            lambda p, mx, mk: [
+                d.astype(jnp.float32)
+                for d in meta_mod.meta_forward(
+                    lqspec, p, mx.astype(dtype), mk.astype(dtype),
+                    metain_type=self.metain_type, train=False,
+                    act_scales=lscales,
+                )[0]
+            ]
+        )
+
     def commit_codes(self, codes) -> list[jax.Array]:
         """Device-commit fixed class codes once for a whole sweep:
         replicated over the mesh when sharded eval is active, plain
@@ -242,7 +305,10 @@ class MetaDetector:
         valid_ensemble.py:88-100) is embarrassingly data-parallel."""
         mx, b = _shard_images(metax, self.mesh)
         mk, _ = _shard_images(mask, self.mesh)
-        out = self._codes(self.params, mx, mk)
+        if self._codes_int8 is not None:
+            out = self._codes_int8(self.lqparams, mx, mk)
+        else:
+            out = self._codes(self.params, mx, mk)
         return [np.asarray(d if b is None else d[:b]) for d in out]
 
     def detect(self, images: np.ndarray, dynamic_weights) -> jax.Array:

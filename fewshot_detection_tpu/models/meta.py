@@ -70,10 +70,17 @@ def meta_forward(
     metain_type: int = 2,
     train: bool = False,
     s2d: bool = False,
+    act_scales: dict[int, float] | None = None,
+    observe=None,
 ) -> tuple[list[jax.Array], dict[str, Any]]:
     """Support branch: (N, Hm, Wm, 3|6) images + (N, Hmask, Wmask, 1) masks
     -> list of per-class code tensors (N, 1, 1, C) (one per learnet [split]
-    plus the final output)."""
+    plus the final output).
+
+    ``act_scales``/``observe`` drive the int8 LEARNET path (ensemble eval
+    phase 1 runs the learnet over EVERY support image); keys are learnet
+    layer indices — the feat_layer backbone stem, when active, stays on the
+    float path."""
     feat_layer = spec.learnet.feat_layer
     bn_updates: dict[str, dict] = {}
     if feat_layer > 0:
@@ -98,7 +105,8 @@ def meta_forward(
         metax = jnp.concatenate([metax, mask.astype(metax.dtype)], axis=-1)
 
     out, aux = apply_network(
-        spec.learnet, params["learnet"], metax, train=train, s2d_stem=s2d
+        spec.learnet, params["learnet"], metax, train=train, s2d_stem=s2d,
+        act_scales=act_scales, observe=observe,
     )
     bn_updates["learnet"] = aux["bn_updates"]
     dynamic_weights = list(aux["splits"]) + [out]
@@ -217,6 +225,43 @@ def fused_reweight_head(
     return _activate(y, activation)
 
 
+def fused_reweight_head_int8(
+    x: jax.Array,
+    dw: jax.Array,
+    head_w: jax.Array,
+    head_b: jax.Array | None,
+    activation: str,
+    sx: float,
+) -> jax.Array:
+    """int8 MXU variant of fused_reweight_head (models/quant.py scheme).
+
+    The effective weight eff[c, n*K+k] = dw[n,c] * head_w[c,k] depends on
+    the per-sweep class codes, so it is quantized ON DEVICE inside the jit
+    (per output column, symmetric absmax — a (C, N*K) reduction, trivial
+    next to the (B*H*W, C) x (C, N*K) contraction it feeds); the input uses
+    the calibrated per-tensor scale `sx`. int32 accumulation, dequantize
+    fused into the bias add."""
+    b, h, w, c = x.shape
+    n = dw.shape[0]
+    k = head_w.shape[-1]
+    w_cls = dw.reshape(n, c)
+    eff = (
+        w_cls.T[:, :, None] * head_w.reshape(c, 1, k)
+    ).reshape(c, n * k).astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(eff), axis=0), 1e-12) / 127.0
+    effq = jnp.clip(jnp.round(eff / scale), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / sx), -127, 127
+    ).astype(jnp.int8)
+    y = jnp.einsum("bhwc,cm->bhwm", xq, effq,
+                   preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * scale)
+    y = y.reshape(b, h, w, n, k).transpose(0, 3, 1, 2, 4).reshape(b * n, h, w, k)
+    if head_b is not None:
+        y = y + head_b.astype(y.dtype)
+    return _activate(y.astype(x.dtype), activation)
+
+
 # ---------------------------------------------------------------------------
 # detection forward
 # ---------------------------------------------------------------------------
@@ -304,10 +349,18 @@ def detect_forward(
                 is_first = dyn_cnt == 0
                 nxt = layers[li + 1] if li + 1 < len(layers) else None
                 if fuse and is_first and _can_fuse(layer, nxt, dw, x):
+                    if observe is not None:
+                        observe(layer.index, x)
                     head_p = dparams[nxt.index]
-                    x = fused_reweight_head(
-                        x, dw, head_p["w"], head_p.get("b"), nxt.activation
-                    )
+                    if act_scales is not None and layer.index in act_scales:
+                        x = fused_reweight_head_int8(
+                            x, dw, head_p["w"], head_p.get("b"),
+                            nxt.activation, act_scales[layer.index],
+                        )
+                    else:
+                        x = fused_reweight_head(
+                            x, dw, head_p["w"], head_p.get("b"), nxt.activation
+                        )
                     skip_next = True
                 else:
                     x = dynamic_conv_general(x, dw, layer, is_first=is_first)

@@ -145,3 +145,51 @@ def test_meta_detector_int8_close(tmp_path):
     # codes path untouched by quantization
     codes2 = m.class_codes(metax, mask)
     np.testing.assert_array_equal(codes[0], codes2[0])
+
+
+def test_meta_detector_int8_learnet_and_head(tmp_path):
+    """Full int8 meta serving: learnet (ensemble phase 1 runs it over every
+    support image) and the fused reweight+head contraction also quantized;
+    codes and head outputs stay within post-training-quant deviation
+    bounds and confident detections agree."""
+    from fewshot_detection_tpu.config import parse_cfg
+    from fewshot_detection_tpu.eval.detector import MetaDetector
+    from fewshot_detection_tpu.models import weights_io
+    from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+    from fewshot_detection_tpu.models.spec import build_spec
+
+    spec_d = build_spec(parse_cfg("cfg/darknet_dynamic.cfg"))
+    spec_l = build_spec(parse_cfg("cfg/reweighting_net.cfg"))
+    params = init_meta_params(MetaSpec(spec_d, spec_l), 3)
+    params = {
+        k: [{**p, "w": p["w"] * 2.45} if p is not None and "w" in p else p
+            for p in v]
+        for k, v in params.items()
+    }
+    w = tmp_path / "m.weights"
+    weights_io.save_weights(
+        str(w), [spec_d, spec_l], [params["darknet"], params["learnet"]])
+    m = MetaDetector("cfg/darknet_dynamic.cfg", "cfg/reweighting_net.cfg",
+                     str(w))
+
+    rng = np.random.RandomState(1)
+    N, S = 4, 64
+    metax = rng.rand(N, S, S, 3).astype(np.float32)
+    mask = (rng.rand(N, S, S, 1) > 0.5).astype(np.float32)
+    codes_fp = m.class_codes(metax, mask)
+    x = rng.rand(2, S, S, 3).astype(np.float32)
+    y_fp = np.asarray(m.detect(x, codes_fp))
+
+    m.quantize_int8(x, codes_fp, calib_support=(metax, mask),
+                    quant_head=True)
+
+    codes_q = m.class_codes(metax, mask)
+    for cf, cq in zip(codes_fp, codes_q):
+        rel = np.abs(np.asarray(cq) - np.asarray(cf)).max() / (
+            np.abs(np.asarray(cf)).max() + 1e-9
+        )
+        assert rel < 0.08, rel
+
+    y_q = np.asarray(m.detect(x, codes_fp))
+    rel = np.abs(y_q - y_fp).max() / np.abs(y_fp).max()
+    assert rel < 0.08, rel
