@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""int8 meta-serving benchmark: learnet phase-1 codes + detection sweep.
+
+Ensemble eval (valid_ensemble.py:76-178 in /root/reference) has two hot
+phases: (1) the learnet over EVERY support image per checkpoint, (2) the
+fixed-code detection sweep over every test image. Measures both at the
+flagship 416px 15-way config, bf16 vs int8 (backbone), vs int8+head
+(fused reweight+head on the int8 MXU), vs int8 learnet for phase 1.
+
+Run alone on the chip (single tunnel client). Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CLS = 15
+SIZE = 416
+
+
+def fence(x):
+    import numpy as np
+    return float(np.asarray(x).ravel()[0])
+
+
+def rate(fn, n_items, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    fence(out)
+    return n_items * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--support-batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fewshot_detection_tpu.eval.detector import MetaDetector
+
+    rng = np.random.RandomState(0)
+    m = MetaDetector(
+        os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
+        os.path.join(REPO, "cfg/reweighting_net.cfg"),
+        compute_dtype=jnp.bfloat16,
+    )
+
+    sb = args.support_batch
+    metax = rng.rand(sb, SIZE, SIZE, 3).astype(np.float32)
+    mask = (rng.rand(sb, SIZE, SIZE, 1) > 0.5).astype(np.float32)
+    imgs = rng.rand(args.batch, SIZE, SIZE, 3).astype(np.float32)
+
+    codes = m.class_codes(metax[:N_CLS], mask[:N_CLS])
+    committed = m.commit_codes(codes)
+
+    results = {}
+    # phase 1: learnet codes, bf16
+    mx, mk = jnp.asarray(metax), jnp.asarray(mask)
+    results["codes_bf16_img_s"] = round(
+        rate(lambda: m._codes(m.params, mx, mk)[0], sb), 1)
+    # phase 2: detection sweep, bf16
+    xi = jnp.asarray(imgs)
+    results["detect_bf16_img_s"] = round(
+        rate(lambda: m._detect(m.params, xi, committed), args.batch), 1)
+
+    # quantize: backbone + learnet, head still bf16
+    m.quantize_int8(imgs, codes, calib_support=(metax[:N_CLS], mask[:N_CLS]))
+    results["codes_int8_img_s"] = round(
+        rate(lambda: m._codes_int8(m.lqparams, mx, mk)[0], sb), 1)
+    results["detect_int8_img_s"] = round(
+        rate(lambda: m._detect_int8(m.qparams, xi, committed), args.batch), 1)
+
+    # + int8 fused reweight+head
+    m.quantize_int8(imgs, codes, calib_support=None, quant_head=True)
+    results["detect_int8_head_img_s"] = round(
+        rate(lambda: m._detect_int8(m.qparams, xi, committed), args.batch), 1)
+
+    print(json.dumps({"metric": "int8_meta_serving", "batch": args.batch,
+                      "support_batch": sb, **results}))
+
+
+if __name__ == "__main__":
+    main()
