@@ -19,6 +19,7 @@ This module converts between that stream and our NHWC/HWIO param pytrees.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -195,8 +196,14 @@ def save_weights(
                 _write_conv(chunks, layer, params[layer.index])
             elif layer.kind == "connected":
                 _write_fc(chunks, params[layer.index])
-    with open(path, "wb") as fp:
+    # atomic write: a SIGKILL mid-save (host OOM, tunnel-worker crash) must
+    # never leave a truncated .weights behind — the codec deliberately
+    # accepts short buffers (prefix loading, darknet_meta.py:367), so a
+    # partial checkpoint would silently resume with random tail layers
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fp:
         np.concatenate(chunks).tofile(fp)
+    os.replace(tmp, path)
 
 
 def load_conv_from_coco(

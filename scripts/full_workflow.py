@@ -80,9 +80,16 @@ def patch_cfg(src, dst, max_batches=None, batch=None):
 
 
 def latest_weights(backupdir):
+    """Newest FULL checkpoint. save_weights is atomic now, but guard against
+    truncated files anyway (the codec silently accepts short buffers, so a
+    partial file resumes with random tail layers): only files at the modal
+    full size count."""
     if not os.path.isdir(backupdir):
         return None
     ws = sorted(f for f in os.listdir(backupdir) if f.endswith(".weights"))
+    sizes = {f: os.path.getsize(os.path.join(backupdir, f)) for f in ws}
+    full = max(sizes.values(), default=0)
+    ws = [f for f in ws if sizes[f] == full]
     return os.path.join(backupdir, ws[-1]) if ws else None
 
 

@@ -39,9 +39,17 @@ def main():
                     help="override the cfg batch size")
     ap.add_argument("--warmup", type=int, default=None,
                     help="override the LR warmup length (first steps= entry)")
+    ap.add_argument("--steps", default=None,
+                    help="replace the whole steps= schedule (e.g. '-1,20' "
+                    "to keep full LR after warmup; the shipped tiny cfg "
+                    "decays x100 by batch 80, starving short probes)")
     ap.add_argument("--root", default=None,
                     help="workspace dir (default: a fresh tempdir)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--style", default="color",
+                    help="synthetic class style: color|shape|huebin")
+    ap.add_argument("--size", type=int, default=None,
+                    help="source image size (square); default 64x48")
     args = ap.parse_args()
 
     from synth import make_voc_like
@@ -58,8 +66,12 @@ def main():
     root = args.root or tempfile.mkdtemp(prefix="fsd_learn_")
     os.makedirs(root, exist_ok=True)
     n_images = args.images or (512 if args.full else 40)
+    kw = {}
+    if args.size:
+        kw["size"] = (args.size, args.size)
+        kw["box_range"] = (0.15, 0.45)
     d = make_voc_like(os.path.join(root, "voc"), n_images=n_images,
-                      seed=args.seed)
+                      seed=args.seed, style=args.style, **kw)
 
     if args.full:
         src_dk = os.path.join(REPO, "cfg/darknet_dynamic.cfg")
@@ -82,6 +94,11 @@ def main():
         # shipped schedule: steps=-1,500,... — replace the warmup boundary
         txt = re.sub(r"(?m)^steps\s*=\s*-1,\s*\d+",
                      f"steps=-1,{args.warmup}", txt)
+    if args.steps is not None:
+        n = len(args.steps.split(","))
+        txt = re.sub(r"(?m)^steps\s*=.*$", f"steps={args.steps}", txt)
+        txt = re.sub(r"(?m)^scales\s*=(\s*[^,\n]+,?){0,99}$",
+                     "scales=" + ",".join(["0.1", "10", ".1", ".1"][:n]), txt)
     open(dk_cfg, "w").write(txt)
 
     datacfg = os.path.join(root, "meta.data")

@@ -59,6 +59,19 @@ def paint_shape_object(arr, cls, x1, y1, x2, y2, color):
     arr[y1:y2, x1:x2] = region
 
 
+def _huebin_color(cls, rng):
+    """Class hue = one of 5 bins spaced 72 deg apart (the reference's HSV
+    distortion shifts hue by at most +-0.1 turn = +-36 deg, half the bin
+    spacing, and scales sat/exposure x1.5 — bin identity survives), with
+    random high sat/val so absolute brightness carries no signal."""
+    import colorsys
+
+    hue = (cls // 4) / 5.0 + rng.uniform(-0.02, 0.02)
+    r, g, b = colorsys.hsv_to_rgb(hue % 1.0, rng.uniform(0.8, 1.0),
+                                  rng.uniform(0.7, 1.0))
+    return np.array([r * 255, g * 255, b * 255], np.uint8)
+
+
 def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0,
                   style="color", box_range=(0.1, 0.4)):
     """Create images/, labels/, labels_1c/, list + dict files under root.
@@ -69,7 +82,11 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0,
     style="shape": class = silhouette x fill-pattern drawn in a random
     bright color per instance, so color carries zero class information and
     the class signal survives HSV distortion, flips, and crops. Use a
-    larger `size` (e.g. (256, 256)) so textures keep >= 4 px of structure."""
+    larger `size` (e.g. (256, 256)) so textures keep >= 4 px of structure.
+    style="huebin": class = hue bin (5 bins, 72 deg apart — survives the
+    +-36 deg HSV hue shift) x silhouette (4 flip-symmetric shapes, solid
+    fill); the color bin gives the optimizer an easy HSV-robust entry
+    signal, the shape disambiguates within the bin."""
     rng = random.Random(seed)
     nprng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
@@ -104,6 +121,11 @@ def make_voc_like(root, n_images=10, classes_per_image=2, size=(64, 48), seed=0,
             if style == "shape":
                 color = (nprng.rand(3) * 135 + 120).astype(np.uint8)
                 paint_shape_object(arr, cls, x1, y1, x2, y2, color)
+            elif style == "huebin":
+                color = _huebin_color(cls, rng)
+                # silhouette only (fill pattern 0 = solid): shape index
+                # cls%4 of the 5 flip-symmetric silhouettes
+                paint_shape_object(arr, (cls % 4) * 4, x1, y1, x2, y2, color)
             else:
                 # solid class-colored rectangle
                 arr[y1:y2, x1:x2] = cls_colors[cls]
