@@ -31,6 +31,25 @@ from ..utils.profiling import StepTimer, trace
 from .common import ensure_backup_dir, replica_layout, resolve_configs
 
 
+def _free_batch(batch: dict) -> None:
+    """Explicitly free the step's device input buffers.
+
+    Through the remote-attached TPU tunnel the staged input arrays are NOT
+    reclaimed when Python drops them — measured 54 MB/step host RSS growth
+    (one bf16 episode batch), which OOM-killed a 110-minute training run at
+    129 GB. The loss-line fetch above already synced step completion, so
+    deleting the inputs here is safe everywhere and a no-op-cost on
+    locally-attached backends."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(batch):
+        if hasattr(leaf, "delete"):
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+
+
 def compute_dtype() -> str:
     """Training compute dtype name: FSD_DTYPE=bfloat16 casts image inputs
     (BN statistics and loss math stay fp32 regardless — ops/layers.py)."""
@@ -238,6 +257,7 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                             params, mom, batch, seen=seen, lr=lr / batch_size
                         )
                     print(format_loss_line(seen, metrics))
+                    _free_batch(batch)
 
             if mp_loader is not None:
                 mp_loader.close()

@@ -24,6 +24,7 @@ from ..ops.region_loss import sample_neg_keep
 from ..train import PlainTrainer, init_momentum, lr_schedule
 from ..utils import format_loss_line, log
 from .common import ensure_backup_dir, replica_layout, resolve_configs
+from .train_meta_cli import _free_batch
 
 
 def main(datacfg, cfgfile, weightfile):
@@ -130,6 +131,7 @@ def main(datacfg, cfgfile, weightfile):
                 params, mom, batch, seen=seen, lr=lr / batch_size
             )
             print(format_loss_line(seen, metrics))
+            _free_batch(batch)
         if loader is not None:
             loader.close()
         log(

@@ -112,6 +112,15 @@ def multiscale_size(seen: int, rng: _random.Random, multiscale: bool) -> int:
     return (rng.randint(0, 9) + 10) * 32
 
 
+def _noaug(kind: str) -> bool:
+    """FSD_NOAUG=det|meta|all disables train-time augmentation for the
+    detection/query stream, the support stream, or both (plain resize, no
+    jitter/flip/HSV). Debug/ablation extension — the reference always
+    augments in train mode (image.py:52-87, dataset.py:418-421)."""
+    v = os.environ.get("FSD_NOAUG", "")
+    return v == "all" or v == kind
+
+
 class DetectionDataset:
     """Detection-image sampler (listDataset equivalent).
 
@@ -160,6 +169,7 @@ class DetectionDataset:
         if shuffle:
             self.rng.shuffle(self.lines)
         self.train = train
+        self.augment = train and not _noaug("det")
         self.shape = shape or (settings.width, settings.height)
         self.seen = seen
         self._native = _native_pipe()
@@ -210,7 +220,7 @@ class DetectionDataset:
             img, flip, dx, dy, sx, sy = augment_image(
                 img, self.shape, self.rng,
                 jitter=JITTER, hue=HUE, saturation=SATURATION,
-                exposure=EXPOSURE, augment=self.train,
+                exposure=EXPOSURE, augment=self.augment,
             )
             arr = image_to_array(img)
         if s.metayolo:
@@ -230,7 +240,7 @@ class DetectionDataset:
     def _load_native(self, imgpath: str):
         """Decode+augment through the C++ pipeline; randomness drawn from
         the same python stream as the PIL path."""
-        if not self.train:
+        if not self.augment:
             arr = self.native.load_plain(imgpath, self.shape[0], self.shape[1])
             return arr, 0, 0.0, 0.0, 1.0, 1.0
         from PIL import Image as _I
@@ -296,7 +306,7 @@ class DetectionDataset:
         for i in range(start, stop):
             imgpath = self.lines[i]
             self._maybe_rescale(i)
-            if self.train:
+            if self.augment:
                 ow, oh = self.native.image_size(imgpath)
                 p = sample_augment_params(
                     ow, oh, self.rng, jitter=JITTER, hue=HUE,
@@ -307,7 +317,7 @@ class DetectionDataset:
             paths.append(imgpath)
             metas.append(p)
             self.seen += 1
-        if self.train:
+        if self.augment:
             params = np.asarray(
                 [[p.pleft, p.pright, p.ptop, p.pbot, p.flip,
                   p.dhue, p.dsat, p.dexp] for p in metas], np.float32,
@@ -399,6 +409,7 @@ class MetaDataset:
             self.rng.shuffle(self.inds)
 
         self.train = train
+        self.augment = train and not _noaug("meta")
         self.ensemble = ensemble
         self.with_ids = with_ids
         self.batch_size = len(self.classes) * num_replicas
@@ -437,7 +448,7 @@ class MetaDataset:
             imgpath, self.classes[clsid], self.settings.data
         )
         if self.native is not None:
-            if not self.train:
+            if not self.augment:
                 arr = self.native.load_plain(imgpath, *self.meta_shape)
                 boxes = load_label_boxes(labpath, 0, 0, 0, 1.0, 1.0)
                 return arr, boxes
@@ -459,7 +470,7 @@ class MetaDataset:
         img, flip, dx, dy, sx, sy = augment_image(
             img, self.meta_shape, self.rng,
             jitter=JITTER, hue=HUE, saturation=SATURATION, exposure=EXPOSURE,
-            augment=self.train,
+            augment=self.augment,
         )
         boxes = load_label_boxes(labpath, flip, dx, dy, 1.0 / sx, 1.0 / sy)
         return img, boxes

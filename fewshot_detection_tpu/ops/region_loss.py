@@ -33,7 +33,14 @@ import numpy as np
 from ..models.spec import RegionSpec
 from .boxes import iou_xywh_jnp
 
-WARMUP_SEEN = 12800
+# seen < WARMUP_SEEN trains EVERY cell of EVERY copy toward the constant
+# box prior (tx=ty=0.5, tw=th=0, region_loss.py:70-79). At probe scale
+# (tiny batches, short runs) this all-cells pressure drowns the few-cell
+# classification signal and collapses the class copies — FSD_WARMUP_SEEN
+# overrides the reference's hardcoded 12800 for such runs.
+import os as _os
+
+WARMUP_SEEN = int(_os.environ.get("FSD_WARMUP_SEEN", "12800"))
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,19 @@ SHOT = 10
 TPU_ENV = {
     "FSD_CLIP_NORM": "10",   # from-random-init stabilizer (opt-in extension)
     "FSD_DTYPE": "bfloat16",  # halve tunnel H2D image traffic
+    # The reference's coord warm-up (seen<12800: EVERY cell of EVERY copy
+    # trained to a constant box prior) is 200 of its 80,200 batches (0.25%
+    # of the schedule); at this compressed schedule the same constant would
+    # cover 11% and measurably COLLAPSES the class copies before the cls
+    # loss can differentiate them (probe chain in PERF.md round 3): the
+    # copies' logit spread shrinks 0.64 -> 0.011 and cls pins at ln(15).
+    # Scaled to this schedule the reference ratio rounds to ~300 samples;
+    # clip_norm already covers early-box stability, so warm-up is disabled.
+    "FSD_WARMUP_SEEN": "0",
+    # C++ decode+augment pipeline, whole batches per call (1-core host is
+    # the throughput bottleneck; PIL path measured 5-6 img/s under load)
+    "FSD_NATIVE": "1",
+    "FSD_NATIVE_BATCH": "1",
 }
 
 
@@ -103,10 +116,12 @@ def run_cli(root, name, argv, timeout_s, retries=3, resume_backup=None,
                FSD_COMPILE_CACHE=os.path.join(root, "xla_cache"))
     for attempt in range(retries):
         args = list(argv)
-        if attempt and resume_backup and resume_argpos is not None:
+        if resume_backup and resume_argpos is not None:
+            # resume from the newest full checkpoint even on attempt 0 — a
+            # workflow restart must not redo finished epochs from scratch
             ckpt = latest_weights(resume_backup)
             if ckpt:
-                log(f"{name}: retry {attempt} resuming from {ckpt}")
+                log(f"{name}: attempt {attempt} resuming from {ckpt}")
                 args[resume_argpos] = ckpt
         logfile = os.path.join(logdir, f"{name}.log")
         log(f"{name}: {' '.join(args)} (log: {logfile})")
@@ -399,8 +414,27 @@ def main():
     ap.add_argument("--root", default="/tmp/fsd_r3")
     ap.add_argument("--stage", default=None,
                     help="run only this stage (default: all remaining)")
+    ap.add_argument("--reset-from", default=None,
+                    help="clear done markers + outputs from this stage on, "
+                    "then run (keeps earlier stages, e.g. plain/conv23)")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
+
+    if args.reset_from:
+        names = [n for n, _ in STAGES]
+        idx = names.index(args.reset_from)
+        import shutil
+
+        for name in names[idx:]:
+            m = done_marker(args.root, name)
+            if os.path.exists(m):
+                os.remove(m)
+        for sub in ("backup_novel0_neg1", "backup_tune_novel0_neg0",
+                    "results"):
+            if args.reset_from in ("base", "plain", "data"):
+                shutil.rmtree(os.path.join(args.root, sub),
+                              ignore_errors=True)
+        log(f"reset stages from {args.reset_from}: {names[idx:]}")
 
     for name, fn in STAGES:
         if args.stage and name != args.stage:

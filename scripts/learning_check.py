@@ -97,16 +97,21 @@ def main():
     if args.steps is not None:
         n = len(args.steps.split(","))
         txt = re.sub(r"(?m)^steps\s*=.*$", f"steps={args.steps}", txt)
-        txt = re.sub(r"(?m)^scales\s*=(\s*[^,\n]+,?){0,99}$",
+        txt = re.sub(r"(?m)^scales\s*=[^\n]*$",
                      "scales=" + ",".join(["0.1", "10", ".1", ".1"][:n]), txt)
     open(dk_cfg, "w").write(txt)
 
     datacfg = os.path.join(root, "meta.data")
     with open(datacfg, "w") as f:
+        # scale=0 for tiny probes: the multiscale schedule's hardcoded
+        # 320-608 range (dataset.py:223-245) would train far above the tiny
+        # cfg's 128px EVAL size; the flagship cfg evals at 416 inside the
+        # range, the tiny one does not
         f.write(
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=1\nrand=0\n"
             "tuning=0\nrepeat=1\ndynamic=0\n"
-            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            + ("" if args.full else "scale=0\n")
+            + f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
             f"meta={d['traindict']}\ntrain={d['train_list']}\n"
             f"valid={d['train_list']}\nbackup={root}/backup\ngpus=0\n"
         )
