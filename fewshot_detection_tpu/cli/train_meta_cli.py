@@ -56,23 +56,43 @@ def compute_dtype() -> str:
     return os.environ.get("FSD_DTYPE", "float32")
 
 
+def _jnp_dtype(name: str):
+    import jax.numpy as jnp
+
+    return getattr(jnp, name)
+
+
+def _image_host_dtype(dtype: str):
+    """FSD_INPUT_U8=1 ships image tensors as uint8 and rescales on device
+    (trainer._decode_images): halves H2D bytes vs bf16 (4x vs fp32) on
+    remote-attached transports with no precision loss relative to the
+    bf16 compute cast (bf16's 8 mantissa bits ~= u8)."""
+    import jax.numpy as jnp
+
+    if os.environ.get("FSD_INPUT_U8", "0") == "1":
+        return jnp.uint8, lambda a: np.round(
+            np.asarray(a, np.float32) * 255.0
+        ).astype(np.uint8)
+    return getattr(jnp, dtype), lambda a: a
+
+
 def make_episode_batch(imgs, labels, metax, mask, n_groups, neg_ratio, rng,
                        dtype: str = "float32"):
     """Stack host arrays into the trainer's (R, ...) layout."""
     import jax.numpy as jnp
 
-    jdt = getattr(jnp, dtype)
+    jdt, enc = _image_host_dtype(dtype)
     B = imgs.shape[0]
     n_cls = labels.shape[1]
     b = B // n_groups
     keep = sample_neg_keep(labels.reshape(B * n_cls, -1), neg_ratio, rng)
     return {
-        "x": jnp.asarray(imgs.reshape(n_groups, b, *imgs.shape[1:]), jdt),
+        "x": jnp.asarray(enc(imgs.reshape(n_groups, b, *imgs.shape[1:])), jdt),
         "metax": jnp.asarray(
-            metax.reshape(n_groups, n_cls, *metax.shape[1:]), jdt
+            enc(metax.reshape(n_groups, n_cls, *metax.shape[1:])), jdt
         ),
         "mask": jnp.asarray(
-            mask.reshape(n_groups, n_cls, *mask.shape[1:]), jdt
+            enc(mask.reshape(n_groups, n_cls, *mask.shape[1:])), jdt
         ),
         "target": labels.reshape(n_groups, b, n_cls, 50, 5),
         "keep": keep.reshape(n_groups, b * n_cls),
@@ -135,6 +155,7 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
         # reference never trains from random init (always darknet19
         # pretrained), where the early conf loss can diverge plain SGD
         clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
+        image_dtype=_jnp_dtype(compute_dtype()),
     )
     mom = init_momentum(params)
 
@@ -177,9 +198,9 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
             params, mom, n_cls=len(probe_meta.classes),
             batch_size=batch_size, n_groups=n_groups,
             # the jit cache keys on input dtype: warm with the SAME dtype
-            # the loop's make_episode_batch will feed (FSD_DTYPE), else
-            # every bucket still recompiles at first real use
-            dtype=getattr(jnp, compute_dtype()),
+            # the loop's make_episode_batch will feed (FSD_DTYPE /
+            # FSD_INPUT_U8), else every bucket still recompiles at first use
+            dtype=_image_host_dtype(compute_dtype())[0],
             meta_shape=(settings.meta_width, settings.meta_height),
             mask_shape=(settings.mask_width, settings.mask_height),
             # raw support-image channels: RGB, +cropped RGB for metain 3/4

@@ -24,7 +24,7 @@ from ..ops.region_loss import sample_neg_keep
 from ..train import PlainTrainer, init_momentum, lr_schedule
 from ..utils import format_loss_line, log
 from .common import ensure_backup_dir, replica_layout, resolve_configs
-from .train_meta_cli import _free_batch
+from .train_meta_cli import _free_batch, _jnp_dtype
 
 
 def main(datacfg, cfgfile, weightfile):
@@ -64,6 +64,7 @@ def main(datacfg, cfgfile, weightfile):
         zero_tcls=settings.metayolo,
         remat=os.environ.get("FSD_REMAT", "0") == "1",
         clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
+        image_dtype=_jnp_dtype(os.environ.get("FSD_DTYPE", "float32")),
     )
     mom = init_momentum(params)
 
@@ -80,7 +81,9 @@ def main(datacfg, cfgfile, weightfile):
 
     # FSD_DTYPE=bfloat16 halves the per-step H2D image traffic (same knob
     # as the meta driver); BN stats/loss math stay fp32
-    jdt = getattr(jnp, os.environ.get("FSD_DTYPE", "float32"))
+    from .train_meta_cli import _image_host_dtype
+
+    jdt, enc = _image_host_dtype(os.environ.get("FSD_DTYPE", "float32"))
 
     for epoch in range(init_epoch, max_epochs):
         t0 = time.time()
@@ -117,7 +120,7 @@ def main(datacfg, cfgfile, weightfile):
             )
             batch = {
                 "x": jnp.asarray(
-                    imgs.reshape(n_groups, b, *imgs.shape[1:]), jdt
+                    enc(imgs.reshape(n_groups, b, *imgs.shape[1:])), jdt
                 ),
                 "target": labels.reshape(n_groups, b, 50, 5),
                 "keep": keep.reshape(n_groups, b),

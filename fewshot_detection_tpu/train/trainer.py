@@ -50,6 +50,15 @@ def _compiler_options() -> dict[str, str] | None:
     return opts or None
 
 
+def _decode_images(arrays, dtype):
+    """uint8-shipped image tensors (FSD_INPUT_U8) -> [0,1] compute dtype.
+    The /255 fuses into the first conv; non-u8 inputs pass through."""
+    return tuple(
+        a.astype(dtype) / 255.0 if a.dtype == jnp.uint8 else a
+        for a in arrays
+    )
+
+
 def _mean_over_groups(tree):
     return jax.tree_util.tree_map(lambda x: x.mean(axis=0), tree)
 
@@ -108,6 +117,7 @@ class MetaTrainer:
         remat: bool = False,
         s2d: bool = False,
         clip_norm: float = 0.0,
+        image_dtype=jnp.float32,
     ):
         self.spec = spec
         self.region = spec.region
@@ -116,6 +126,8 @@ class MetaTrainer:
         self.clip_norm = clip_norm
         self.metain_type = metain_type
         self.fuse = fuse
+        # compute dtype that uint8-shipped inputs decode to (FSD_INPUT_U8)
+        self.image_dtype = image_dtype
         # space-to-depth stem: exact conv+pool rewrite that keeps the
         # full-res stem activation out of HBM (ops.layers.stem_s2d_conv_pool)
         self.s2d = s2d
@@ -137,6 +149,7 @@ class MetaTrainer:
         )
 
     def _episode_loss(self, params, x, metax, mask, target, keep, seen):
+        x, metax, mask = _decode_images((x, metax, mask), self.image_dtype)
         n_cls = metax.shape[0]
         fwd = self._forward
         if self.remat:
@@ -280,6 +293,7 @@ class PlainTrainer:
         remat: bool = False,
         s2d: bool = False,
         clip_norm: float = 0.0,
+        image_dtype=jnp.float32,
     ):
         self.spec = spec
         self.region = spec.region
@@ -287,6 +301,7 @@ class PlainTrainer:
         self.weight_decay = weight_decay
         self.clip_norm = clip_norm
         self.zero_tcls = zero_tcls
+        self.image_dtype = image_dtype
         self.s2d = s2d
         self.remat = remat  # same policy/rationale as MetaTrainer
         self._step = jax.jit(
@@ -295,6 +310,8 @@ class PlainTrainer:
         )
 
     def _episode_loss(self, params, x, target, keep, seen):
+        (x,) = _decode_images((x,), self.image_dtype)
+
         def fwd(p, xx):
             return apply_network(
                 self.spec, p, xx, train=True, s2d_stem=self.s2d

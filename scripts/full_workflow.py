@@ -61,6 +61,9 @@ TPU_ENV = {
     # the throughput bottleneck; PIL path measured 5-6 img/s under load)
     "FSD_NATIVE": "1",
     "FSD_NATIVE_BATCH": "1",
+    # ship image tensors as uint8, decode on device: halves H2D bytes vs
+    # bf16 and halves the tunnel transport's per-transfer host-buffer leak
+    "FSD_INPUT_U8": "1",
 }
 
 

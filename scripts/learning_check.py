@@ -128,7 +128,11 @@ def main():
           f"{max_batches} batches of {parse_cfg(dk_cfg)[0]['batch']}")
     train_main(datacfg, dk_cfg, ln_cfg, init_w)
 
-    backupdir = f"{root}/backup_novel0_neg1"
+    # the backup dir name encodes the config (cfg.py:130-147 mangling:
+    # e.g. 'fix' when multiscale is off) — discover it
+    cands = [d for d in os.listdir(root) if d.startswith("backup")]
+    assert len(cands) == 1, cands
+    backupdir = os.path.join(root, cands[0])
     ckpts = sorted(f for f in os.listdir(backupdir) if f.endswith(".weights"))
     assert ckpts, f"no checkpoints in {backupdir}"
     ckpt = os.path.join(backupdir, ckpts[-1])
