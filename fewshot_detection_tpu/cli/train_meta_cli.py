@@ -277,7 +277,12 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                         params, mom, metrics = trainer.step(
                             params, mom, batch, seen=seen, lr=lr / batch_size
                         )
-                    print(format_loss_line(seen, metrics))
+                    # the metrics fetch is where the host actually BLOCKS on
+                    # the async-dispatched step — time it as its own phase
+                    # ('step' above measures trace+dispatch only)
+                    with timer.phase("sync"):
+                        line = format_loss_line(seen, metrics)
+                    print(line)
                     _free_batch(batch)
 
             if mp_loader is not None:
