@@ -44,6 +44,20 @@ N_TRAIN = 512
 N_TEST = 128
 IMG_SIZE = (256, 256)
 SHOT = 10
+# Synthetic class style (tests/synth.py). Round-3 finding (PERF.md
+# "support-code signal"): style=shape randomizes each instance's COLOR, so
+# the learnet's masked-pooled support codes are episode noise
+# (across/within-class distance ratio ~0.5 at init AND after 70k streaming
+# samples — the cls gradient cannot bootstrap from noise codes, and
+# streaming cls pins at ln(n_cls) at any LR). style=huebin keys classes to
+# 5 hue bins (72 deg apart — survives the reference's +-36 deg HSV shift)
+# x 4 silhouettes: the hue bin pools into a clean code signal.
+STYLE = "huebin"
+# dk.cfg LR schedule for the compressed synthetic run: the reference's
+# warmup length (500 of 80,200 batches) is kept proportional (~300 of
+# 3,500) rather than literal — 500 literal would spend 14% of the schedule
+# at lr/10 (the reference spends 0.6%).
+DK_STEPS = "-1,300,40000,60000"
 
 TPU_ENV = {
     "FSD_CLIP_NORM": "10",   # from-random-init stabilizer (opt-in extension)
@@ -85,12 +99,14 @@ def is_done(root, stage):
     return os.path.exists(done_marker(root, stage))
 
 
-def patch_cfg(src, dst, max_batches=None, batch=None):
+def patch_cfg(src, dst, max_batches=None, batch=None, steps=None):
     txt = open(src).read()
     if max_batches is not None:
         txt = re.sub(r"(?m)^max_batches\s*=\s*\d+", f"max_batches={max_batches}", txt)
     if batch is not None:
         txt = re.sub(r"(?m)^batch\s*=\s*\d+", f"batch={batch}", txt)
+    if steps is not None:
+        txt = re.sub(r"(?m)^steps\s*=.*$", f"steps={steps}", txt)
     open(dst, "w").write(txt)
     return dst
 
@@ -181,7 +197,7 @@ def stage_data(root):
 
     d = make_voc_like(
         os.path.join(root, "voc"), n_images=N_TRAIN + N_TEST,
-        size=IMG_SIZE, seed=7, style="shape", box_range=(0.15, 0.45),
+        size=IMG_SIZE, seed=7, style=STYLE, box_range=(0.15, 0.45),
     )
     img_paths = d["img_paths"]
     train_imgs = img_paths[:N_TRAIN]
@@ -235,7 +251,8 @@ def stage_data(root):
     patch_cfg(os.path.join(REPO, "cfg/yolo-voc.cfg"),
               os.path.join(root, "plain.cfg"), max_batches=1600, batch=32)
     patch_cfg(os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
-              os.path.join(root, "dk.cfg"), max_batches=3500, batch=32)
+              os.path.join(root, "dk.cfg"), max_batches=3500, batch=32,
+              steps=DK_STEPS)
 
     # random-init weights for both graphs
     from fewshot_detection_tpu.config import parse_cfg
@@ -413,6 +430,7 @@ STAGES = [
 
 
 def main():
+    global STYLE
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/fsd_r3")
     ap.add_argument("--stage", default=None,
@@ -420,7 +438,11 @@ def main():
     ap.add_argument("--reset-from", default=None,
                     help="clear done markers + outputs from this stage on, "
                     "then run (keeps earlier stages, e.g. plain/conv23)")
+    ap.add_argument("--style", default=None,
+                    help=f"synthetic class style (default {STYLE})")
     args = ap.parse_args()
+    if args.style:
+        STYLE = args.style
     os.makedirs(args.root, exist_ok=True)
 
     if args.reset_from:

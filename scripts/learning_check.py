@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--style", default="color",
                     help="synthetic class style: color|shape|huebin")
+    ap.add_argument("--multiscale", action="store_true",
+                    help="keep the 320-608 multiscale schedule on for tiny "
+                    "probes too (default: tiny probes pin scale=0)")
     ap.add_argument("--size", type=int, default=None,
                     help="source image size (square); default 64x48")
     args = ap.parse_args()
@@ -110,7 +113,7 @@ def main():
         f.write(
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=1\nrand=0\n"
             "tuning=0\nrepeat=1\ndynamic=0\n"
-            + ("" if args.full else "scale=0\n")
+            + ("" if (args.full or args.multiscale) else "scale=0\n")
             + f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
             f"meta={d['traindict']}\ntrain={d['train_list']}\n"
             f"valid={d['train_list']}\nbackup={root}/backup\ngpus=0\n"

@@ -271,3 +271,56 @@ def test_meta_dataset_ensemble_stream_single_decode(voc_dir):
         np.testing.assert_array_equal(a1, a2)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_augmented_labels_align_with_pixels(voc_dir, monkeypatch):
+    """End-to-end geometric check through the REAL DetectionDataset train
+    path: with jitter+flip on (HSV neutralized so class colors stay
+    matchable), the transformed label boxes must still cover the class-
+    colored object pixels at EVERY target shape of the multiscale range.
+    Guards the full augment->fill_truth->batch chain (image.py:52-141
+    semantics) against geometry regressions."""
+    import fewshot_detection_tpu.data.augment as aug_mod
+    from fewshot_detection_tpu.data.datasets import DetectionDataset
+
+    monkeypatch.setattr(aug_mod, "distort_hsv", lambda img, h, s, v: img)
+    cls_colors = (np.random.RandomState(0).rand(20, 3) * 155 + 100).astype(
+        np.uint8)
+    s = _settings(train=voc_dir["train_list"])
+    base_ids = s.base_ids
+
+    for shape in [(128, 128), (416, 416)]:
+        ds = DetectionDataset(
+            voc_dir["train_list"], s, train=True, shape=shape, shuffle=False,
+            rng=random.Random(7), filter_valid=False)
+        ds._maybe_rescale = lambda i: None  # pin the shape under test
+        ious = []
+        for imgs, labels in ds.batches(4):
+            H, W = imgs.shape[1:3]
+            assert (H, W) == shape
+            for img, lab in zip(imgs, labels):
+                for ci in range(lab.shape[0]):
+                    for row in lab[ci].reshape(50, 5):
+                        if row[3] <= 0 or row[4] <= 0:
+                            continue
+                        col = cls_colors[base_ids[ci]].astype(np.float32) / 255
+                        m = np.abs(img - col).max(-1) < 0.08
+                        if m.sum() < 4:  # object cropped out
+                            continue
+                        ys, xs = np.nonzero(m)
+                        px = (xs.min() / W, ys.min() / H,
+                              (xs.max() + 1) / W, (ys.max() + 1) / H)
+                        lx = (row[1] - row[3] / 2, row[2] - row[4] / 2,
+                              row[1] + row[3] / 2, row[2] + row[4] / 2)
+                        ix = max(0.0, min(px[2], lx[2]) - max(px[0], lx[0]))
+                        iy = max(0.0, min(px[3], lx[3]) - max(px[1], lx[1]))
+                        inter = ix * iy
+                        union = ((px[2] - px[0]) * (px[3] - px[1])
+                                 + row[3] * row[4] - inter)
+                        ious.append(inter / max(union, 1e-9))
+        ious = np.asarray(ious)
+        assert len(ious) >= 20, len(ious)
+        # mean alignment high; allow a tail from the reference's swidth-1
+        # crop quirk + tiny sources
+        assert ious.mean() > 0.75, (shape, ious.mean())
+        assert np.percentile(ious, 25) > 0.6, (shape, np.percentile(ious, 25))

@@ -101,3 +101,64 @@ def test_batch_loader_matches_sequential(img_files):
     batch2, fails2 = pipe.load_batch(["/nonexistent.png"] + paths, 16, 16)
     assert fails2 == 1
     assert batch2[0].sum() == 0
+
+
+def test_batch_loader_augment_params_per_index(img_files):
+    """The training path (FSD_NATIVE_BATCH=1) ships PER-IMAGE augment
+    params; the threaded batch must apply row i's params to image i exactly
+    (completion-order scrambling here would silently decorrelate images
+    from their labels/masks)."""
+    rng = np.random.RandomState(3)
+    paths = [img_files["png"], img_files["jpg"]] * 4
+    params = np.stack([
+        [rng.randint(-12, 12), rng.randint(-12, 12), rng.randint(-9, 9),
+         rng.randint(-9, 9), rng.randint(0, 2), rng.uniform(-0.1, 0.1),
+         rng.uniform(0.7, 1.4), rng.uniform(0.7, 1.4)]
+        for _ in range(len(paths))
+    ]).astype(np.float32)
+    pipe = native_loader.NativeImagePipe(n_threads=4)
+    batch, fails = pipe.load_batch(paths, 40, 40, params)
+    assert fails == 0
+    for i, p in enumerate(paths):
+        single = pipe.load_augment(
+            p, 40, 40, int(params[i, 0]), int(params[i, 1]),
+            int(params[i, 2]), int(params[i, 3]), int(params[i, 4]),
+            float(params[i, 5]), float(params[i, 6]), float(params[i, 7]),
+        )
+        np.testing.assert_array_equal(batch[i], single)
+
+
+def test_augment_crop_geometry_matches_pil(img_files):
+    """Nonzero and NEGATIVE crop paddings (jitter can pad outside the
+    image) must place content where the PIL path does — the label/mask
+    transforms assume that geometry (image.py:52-87). Compared via the
+    centroid of a marker square; interpolation differs (triangle vs
+    bicubic) so pixels are only close, not equal."""
+    from fewshot_detection_tpu.data.augment import (
+        AugmentParams, apply_augment_pil)
+
+    arr = np.zeros((96, 128, 3), np.uint8)
+    arr[30:60, 40:80] = [255, 0, 0]
+    src = img_files["png"].replace("a.png", "marker.png")
+    Image.fromarray(arr).save(src)
+    pipe = native_loader.NativeImagePipe()
+
+    def centroid(a):
+        m = (a[..., 0] > 0.8) & (a[..., 1] < 0.2)
+        assert m.sum() > 0
+        ys, xs = np.nonzero(m)
+        return np.array([xs.mean(), ys.mean()])
+
+    for pads in [(10, 5, 7, 3, 0), (-10, -5, -7, -3, 0),
+                 (-15, 10, 8, -12, 1), (20, -20, -15, 15, 1)]:
+        pleft, pright, ptop, pbot, flip = pads
+        ours = pipe.load_augment(src, 416, 416, pleft, pright, ptop, pbot,
+                                 flip, 0.0, 1.0, 1.0)
+        ref = np.asarray(
+            apply_augment_pil(
+                Image.fromarray(arr), (416, 416),
+                AugmentParams(pleft, pright, ptop, pbot, flip, 0.0, 1.0, 1.0),
+            ), np.uint8,
+        ).astype(np.float32) / 255.0
+        delta = np.abs(centroid(ours) - centroid(ref)).max()
+        assert delta < 4.0, (pads, delta)
