@@ -156,6 +156,7 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
         # pretrained), where the early conf loss can diverge plain SGD
         clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
         image_dtype=_jnp_dtype(compute_dtype()),
+        warmup_seen=settings.warmup_seen,
     )
     mom = init_momentum(params)
 
@@ -250,43 +251,46 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                 mp_loader = MPLoader(
                     episode_stream,
                     (trainlist, data_options["meta"], settings, batch_size,
-                     seen),
+                     seen, n_groups),
                     num_workers=n_workers, seed=rng.randrange(2**31),
                 )
 
-            with trace():  # jax.profiler trace when FSD_PROFILE_DIR is set
-                it = iter(mp_loader) if mp_loader else prefetch(episodes())
-                while True:
-                    with timer.phase("data"):
-                        nxt = next(it, None)
-                        if nxt is None:
-                            break
-                        imgs, labels, metax, mask = nxt
-                    lr = lr_schedule(processed_batches, learning_rate, steps, scales)
-                    processed_batches += 1
-                    with timer.phase("step"):
-                        batch = make_episode_batch(
-                            imgs, labels, metax, mask, n_groups,
-                            settings.neg_ratio, nprng, dtype=compute_dtype(),
-                        )
-                        if mesh is not None:
-                            from ..parallel import shard_batch
+            try:
+                with trace():  # jax.profiler trace when FSD_PROFILE_DIR set
+                    it = iter(mp_loader) if mp_loader else prefetch(episodes())
+                    while True:
+                        with timer.phase("data"):
+                            nxt = next(it, None)
+                            if nxt is None:
+                                break
+                            imgs, labels, metax, mask = nxt
+                        lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+                        processed_batches += 1
+                        with timer.phase("step"):
+                            batch = make_episode_batch(
+                                imgs, labels, metax, mask, n_groups,
+                                settings.neg_ratio, nprng, dtype=compute_dtype(),
+                            )
+                            if mesh is not None:
+                                from ..parallel import shard_batch
 
-                            batch = shard_batch(mesh, batch)
-                        seen += imgs.shape[0]
-                        params, mom, metrics = trainer.step(
-                            params, mom, batch, seen=seen, lr=lr / batch_size
-                        )
-                    # the metrics fetch is where the host actually BLOCKS on
-                    # the async-dispatched step — time it as its own phase
-                    # ('step' above measures trace+dispatch only)
-                    with timer.phase("sync"):
-                        line = format_loss_line(seen, metrics)
-                    print(line)
-                    _free_batch(batch)
-
-            if mp_loader is not None:
-                mp_loader.close()
+                                batch = shard_batch(mesh, batch)
+                            seen += imgs.shape[0]
+                            params, mom, metrics = trainer.step(
+                                params, mom, batch, seen=seen, lr=lr / batch_size
+                            )
+                        # the metrics fetch is where the host actually BLOCKS
+                        # on the async-dispatched step — time it as its own
+                        # phase ('step' above measures trace+dispatch only)
+                        with timer.phase("sync"):
+                            line = format_loss_line(seen, metrics)
+                        print(line)
+                        _free_batch(batch)
+            finally:
+                # a tunnel crash mid-epoch must not leave FSD_WORKERS
+                # spawned processes decoding batches until interpreter exit
+                if mp_loader is not None:
+                    mp_loader.close()
             log(timer.summary(images=nsamples))
 
             if (epoch + 1) % settings.save_interval == 0:

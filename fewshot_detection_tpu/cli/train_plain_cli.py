@@ -65,6 +65,7 @@ def main(datacfg, cfgfile, weightfile):
         remat=os.environ.get("FSD_REMAT", "0") == "1",
         clip_norm=float(os.environ.get("FSD_CLIP_NORM", "0")),
         image_dtype=_jnp_dtype(os.environ.get("FSD_DTYPE", "float32")),
+        warmup_seen=settings.warmup_seen,
     )
     mom = init_momentum(params)
 
@@ -109,34 +110,38 @@ def main(datacfg, cfgfile, weightfile):
             )
         else:
             loader = None
-        for imgs, labels in (iter(loader) if loader
-                             else prefetch(ds.batches(batch_size))):
-            lr = lr_schedule(processed_batches, learning_rate, steps, scales)
-            processed_batches += 1
-            B = imgs.shape[0]
-            b = B // n_groups
-            keep = sample_neg_keep(
-                labels.reshape(B, -1), settings.neg_ratio, nprng
-            )
-            batch = {
-                "x": jnp.asarray(
-                    enc(imgs.reshape(n_groups, b, *imgs.shape[1:])), jdt
-                ),
-                "target": labels.reshape(n_groups, b, 50, 5),
-                "keep": keep.reshape(n_groups, b),
-            }
-            if mesh is not None:
-                from ..parallel import shard_batch
+        try:
+            for imgs, labels in (iter(loader) if loader
+                                 else prefetch(ds.batches(batch_size))):
+                lr = lr_schedule(processed_batches, learning_rate, steps, scales)
+                processed_batches += 1
+                B = imgs.shape[0]
+                b = B // n_groups
+                keep = sample_neg_keep(
+                    labels.reshape(B, -1), settings.neg_ratio, nprng
+                )
+                batch = {
+                    "x": jnp.asarray(
+                        enc(imgs.reshape(n_groups, b, *imgs.shape[1:])), jdt
+                    ),
+                    "target": labels.reshape(n_groups, b, 50, 5),
+                    "keep": keep.reshape(n_groups, b),
+                }
+                if mesh is not None:
+                    from ..parallel import shard_batch
 
-                batch = shard_batch(mesh, batch)
-            seen += B
-            params, mom, metrics = trainer.step(
-                params, mom, batch, seen=seen, lr=lr / batch_size
-            )
-            print(format_loss_line(seen, metrics))
-            _free_batch(batch)
-        if loader is not None:
-            loader.close()
+                    batch = shard_batch(mesh, batch)
+                seen += B
+                params, mom, metrics = trainer.step(
+                    params, mom, batch, seen=seen, lr=lr / batch_size
+                )
+                print(format_loss_line(seen, metrics))
+                _free_batch(batch)
+        finally:
+            # close worker processes on every exit path, not just the
+            # clean epoch end (a crash otherwise leaks them until exit)
+            if loader is not None:
+                loader.close()
         log(
             "training with %f samples/s"
             % (nsamples / max(time.time() - t0, 1e-9))

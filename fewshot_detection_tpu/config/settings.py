@@ -95,6 +95,12 @@ class Settings:
     novelid: str = "None"
 
     max_boxes: int = MAX_BOXES
+    # coord warm-up threshold: seen < warmup_seen trains every cell toward
+    # the constant box prior (region_loss.py:70-79 hardcodes 12800). A
+    # loss-semantics rule, so it lives here; FSD_WARMUP_SEEN overrides it at
+    # configure() time for compressed synthetic schedules (PERF.md
+    # "warm-up collapse").
+    warmup_seen: int = 12800
     neg_ratio: float | str = "full"
     tuning: bool = False
     metayolo: bool = True
@@ -143,6 +149,10 @@ class Settings:
         (cfg.py:70-190) as a pure function.
         """
         s: dict = {}
+        # CLI override parsed at configure() time (startup), never at import
+        env_warmup = os.environ.get("FSD_WARMUP_SEEN")
+        if env_warmup is not None:
+            s["warmup_seen"] = int(env_warmup)
         data = data_options.get("data", "voc")
         s["data"] = data
         if data == "voc":

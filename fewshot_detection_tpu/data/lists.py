@@ -137,7 +137,18 @@ def build_fewset(
         names = list(imglist)
     metalist = list(metalist)
 
+    stalls = 0
     while min(metacnt.values()) < shot:
+        # robustness extension over dataset.py:128 (which loops forever /
+        # crashes on an exhausted pool): tiny or skewed pools can run out
+        # of usable images — fail with the residual budgets instead
+        if not names or stalls > 200_000:
+            short = {c: n for c, n in metacnt.items() if n < shot}
+            raise RuntimeError(
+                f"build_fewset: candidate pool exhausted with classes "
+                f"below the {shot}-box budget: {short}"
+            )
+        stalls += 1
         imgpath = rng.sample(names, 1)[0]
         bs = _read_class_boxes(imgpath.strip())
         if bs is None:
@@ -159,6 +170,7 @@ def build_fewset(
         for ci in set(bcls):
             metacnt[settings.classes[ci]] += bcls.count(ci)
         metalist.append(imgpath)
+        stalls = 0
         if not replace:
             names.remove(imgpath)
 

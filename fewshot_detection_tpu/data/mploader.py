@@ -31,10 +31,16 @@ class _WorkerError:
 
 
 def episode_stream(trainlist, meta_file: str, settings: Settings,
-                   batch_size: int, seen: int, *, worker_id: int = 0,
-                   num_workers: int = 1, seed: int = 0) -> Iterator:
+                   batch_size: int, seen: int, n_groups: int = 1, *,
+                   worker_id: int = 0, num_workers: int = 1,
+                   seed: int = 0) -> Iterator:
     """One worker's share of (imgs, labels, metax, mask) episodic batches.
-    Module-level so `spawn` can pickle it by reference."""
+    Module-level so `spawn` can pickle it by reference.
+
+    n_groups must match the trainer's replica-group count: each support
+    batch carries one sample per class PER GROUP (n_groups * n_cls images,
+    the reference's n_cls * num_gpus layout, dataset.py:348), which
+    make_episode_batch reshapes to (n_groups, n_cls, ...)."""
     from .datasets import DetectionDataset, MetaDataset
 
     rng = random.Random(seed + worker_id)
@@ -43,9 +49,9 @@ def episode_stream(trainlist, meta_file: str, settings: Settings,
         rng=rng, filter_valid=False,
     )
     metaset = MetaDataset(
-        meta_file, settings, train=True, num_replicas=1, rng=rng,
+        meta_file, settings, train=True, num_replicas=n_groups, rng=rng,
     )
-    meta_iter = metaset.batches(len(metaset.classes))
+    meta_iter = metaset.batches(n_groups * len(metaset.classes))
     for imgs, labels in ds.batches(batch_size, offset=worker_id,
                                    stride=num_workers):
         metax, mask = next(meta_iter)

@@ -39,14 +39,14 @@ nms = _host_nms
 
 
 def _device_pipe(region, n_cls: int | None = None):
-    """FSD_DEVICE_NMS=1 routes the sweep's decode + per-(image[,class]) NMS
-    through the jitted fixed-buffer device pipeline (PERF.md: 9.4 ms vs
-    ~25 s/batch for the meta case) — the replacement for the reference's
-    host hot loop (valid_ensemble.py:137-178 -> utils.py:195-290). The
-    fixed candidate buffer (FSD_DEVICE_NMS_K, default 256) falls back to
-    the host path for any batch it would truncate, so result files are
-    identical in every regime."""
-    if os.environ.get("FSD_DEVICE_NMS") != "1":
+    """The sweeps route decode + per-(image[,class]) NMS through the jitted
+    fixed-buffer device pipeline BY DEFAULT (PERF.md: 9.4 ms vs ~25 s/batch
+    for the meta case) — the replacement for the reference's host hot loop
+    (valid_ensemble.py:137-178 -> utils.py:195-290). The fixed candidate
+    buffer (FSD_DEVICE_NMS_K, default 256) falls back to the host path for
+    any batch it would truncate, so result files are identical in every
+    regime; FSD_DEVICE_NMS=0 is the kill switch forcing the host path."""
+    if os.environ.get("FSD_DEVICE_NMS", "1") == "0":
         return None
     from .device_pipeline import DevicePipeline, MetaDevicePipeline
 

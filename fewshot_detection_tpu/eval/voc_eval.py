@@ -186,10 +186,16 @@ def do_python_eval(
     novelid: str | None = None,
     output_dir: str = "output",
     single: bool = False,
+    classes: tuple[str, ...] | None = None,
 ) -> dict:
     """Per-class AP + mean + base/novel means. Returns a result dict (the
-    reference only printed)."""
+    reference only printed). `classes` defaults to the VOC 20; pass the
+    COCO names (+ novel_file=data/coco_novels.txt) to score a COCO-protocol
+    result dir — the AP math is class-universe agnostic (the reference's
+    scorer was VOC-only, scripts/voc_eval.py:246-331)."""
     from ..config.settings import get_novels
+
+    classes = tuple(classes) if classes is not None else VOC_CLASSES
 
     devkit_path = devkit_path or os.environ.get("VOC_DEVKIT", "VOCdevkit")
     if novelid is None:
@@ -208,7 +214,7 @@ def do_python_eval(
 
     aps, base_aps, novel_aps = [], [], []
     per_class = {}
-    for cls in VOC_CLASSES:
+    for cls in classes:
         single_file = (
             os.path.join(os.path.dirname(imagesetfile), f"{cls}_test.txt")
             if single

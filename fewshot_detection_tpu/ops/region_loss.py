@@ -33,14 +33,14 @@ import numpy as np
 from ..models.spec import RegionSpec
 from .boxes import iou_xywh_jnp
 
-# seen < WARMUP_SEEN trains EVERY cell of EVERY copy toward the constant
-# box prior (tx=ty=0.5, tw=th=0, region_loss.py:70-79). At probe scale
-# (tiny batches, short runs) this all-cells pressure drowns the few-cell
-# classification signal and collapses the class copies — FSD_WARMUP_SEEN
-# overrides the reference's hardcoded 12800 for such runs.
-import os as _os
-
-WARMUP_SEEN = int(_os.environ.get("FSD_WARMUP_SEEN", "12800"))
+# seen < warmup_seen trains EVERY cell of EVERY copy toward the constant
+# box prior (tx=ty=0.5, tw=th=0, region_loss.py:70-79). The reference
+# hardcodes 12800; here it is a Settings field (settings.warmup_seen,
+# FSD_WARMUP_SEEN CLI override) threaded through the trainers, because at
+# compressed schedules the all-cells pressure drowns the few-cell
+# classification signal and collapses the meta class copies (PERF.md
+# "warm-up collapse").
+WARMUP_SEEN_DEFAULT = 12800
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +99,7 @@ def build_targets(
     H: int,
     W: int,
     seen: jax.Array,
+    warmup_seen: int = WARMUP_SEEN_DEFAULT,
 ):
     """Vectorized equivalent of region_loss.py:37-132.
 
@@ -123,7 +124,7 @@ def build_targets(
     ious = iou_xywh_jnp(pb_flat[:, :, None, :], gt_boxes[:, None, :, :])
     ious = jnp.where(valid[:, None, :], ious, 0.0)
     cur_ious = ious.max(axis=2).reshape(nB, A, H, W)
-    warmup = seen < WARMUP_SEEN
+    warmup = seen < warmup_seen
 
     conf_mask = jnp.where(
         cur_ious > region.thresh, 0.0, region.noobject_scale
@@ -259,6 +260,7 @@ def region_loss(
     region: RegionSpec,
     *,
     zero_tcls: bool = False,
+    warmup_seen: int = WARMUP_SEEN_DEFAULT,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Plain YOLOv2 loss (RegionLoss, region_loss.py:134-232).
 
@@ -269,7 +271,7 @@ def region_loss(
     parts = _split_output(output, region)
     o = parts[0]
     pred_boxes = _decode_pred_boxes(o, region)
-    tgt = build_targets(pred_boxes, target, region, H, W, seen)
+    tgt = build_targets(pred_boxes, target, region, H, W, seen, warmup_seen)
 
     loss_x, loss_y, loss_w, loss_h, loss_conf = _coord_conf_losses(
         parts, tgt, keep, region
@@ -310,6 +312,8 @@ def region_loss_v2(
     seen: jax.Array,
     region: RegionSpec,
     n_cls: int,
+    *,
+    warmup_seen: int = WARMUP_SEEN_DEFAULT,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Meta region loss (RegionLossV2, region_loss.py:234-366).
 
@@ -329,7 +333,8 @@ def region_loss_v2(
     o = parts[0]
     pred_boxes = _decode_pred_boxes(o, region)
     tgt = build_targets(
-        pred_boxes, target.reshape(nB, *target.shape[2:]), region, H, W, seen
+        pred_boxes, target.reshape(nB, *target.shape[2:]), region, H, W,
+        seen, warmup_seen,
     )
 
     loss_x, loss_y, loss_w, loss_h, loss_conf = _coord_conf_losses(

@@ -118,12 +118,16 @@ class MetaTrainer:
         s2d: bool = False,
         clip_norm: float = 0.0,
         image_dtype=jnp.float32,
+        warmup_seen: int = 12800,
     ):
         self.spec = spec
         self.region = spec.region
         self.momentum = momentum
         self.weight_decay = weight_decay
         self.clip_norm = clip_norm
+        # coord warm-up threshold (settings.warmup_seen; reference hardcodes
+        # 12800, region_loss.py:70-79)
+        self.warmup_seen = warmup_seen
         self.metain_type = metain_type
         self.fuse = fuse
         # compute dtype that uint8-shipped inputs decode to (FSD_INPUT_U8)
@@ -166,7 +170,8 @@ class MetaTrainer:
             fwd = jax.checkpoint(fwd, policy=policy)
         y, aux = fwd(params, x, metax, mask)
         loss, metrics = region_loss_v2(
-            y, target, keep, seen, self.region, n_cls
+            y, target, keep, seen, self.region, n_cls,
+            warmup_seen=self.warmup_seen,
         )
         return loss, (aux["bn_updates"], metrics)
 
@@ -294,12 +299,14 @@ class PlainTrainer:
         s2d: bool = False,
         clip_norm: float = 0.0,
         image_dtype=jnp.float32,
+        warmup_seen: int = 12800,
     ):
         self.spec = spec
         self.region = spec.region
         self.momentum = momentum
         self.weight_decay = weight_decay
         self.clip_norm = clip_norm
+        self.warmup_seen = warmup_seen
         self.zero_tcls = zero_tcls
         self.image_dtype = image_dtype
         self.s2d = s2d
@@ -327,7 +334,8 @@ class PlainTrainer:
             fwd = jax.checkpoint(fwd, policy=policy)
         y, aux = fwd(params, x)
         loss, metrics = region_loss(
-            y, target, keep, seen, self.region, zero_tcls=self.zero_tcls
+            y, target, keep, seen, self.region, zero_tcls=self.zero_tcls,
+            warmup_seen=self.warmup_seen,
         )
         return loss, (aux["bn_updates"], metrics)
 

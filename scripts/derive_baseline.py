@@ -24,8 +24,10 @@ at 10.6-11.3 fp32 TFLOP/s; PyTorch-0.3-era cuDNN conv sustains 30-50% of
 peak on these channel widths.
 
 Prints one JSON line with measured t_host and the derived per-GPU rate
-(central + optimistic/pessimistic bounds). The optimistic bound is what
-bench.py uses as REF_IMG_PER_SEC_PER_GPU so vs_baseline stays conservative.
+(central + optimistic/pessimistic bounds). bench.py uses the CENTRAL
+estimate (30.0 ~ the derived 29.4) as REF_IMG_PER_SEC_PER_GPU — see
+BASELINE.md; the optimistic bound (40.2) is reported as the error bar that
+a best-case reference setup could reach.
 """
 
 import json

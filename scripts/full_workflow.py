@@ -318,12 +318,45 @@ def stage_base(root):
     log(f"base stage done: {summary}")
 
 
+def _fewlists_full_budget(sample_fn, classes, shot,
+                          seeds=(2018, 7, 99, 1234, 4242)):
+    """Run a k-shot list sampler until every class reaches exactly `shot`
+    boxes (counting boxes, not images)."""
+    import numpy as np
+
+    from fewshot_detection_tpu.data.datasets import get_labpath
+
+    def nboxes(flist, cid):
+        total = 0
+        for p in flist:
+            rows = np.loadtxt(get_labpath(p.strip())).reshape(-1, 5)
+            total += int((rows[:, 0].astype(int) == cid).sum())
+        return total
+
+    for seed in seeds:
+        lists = sample_fn(seed)
+        counts = [nboxes(flist, ci) for ci, flist in enumerate(lists)]
+        if all(c >= shot for c in counts):
+            log(f"fewlist seed {seed}: per-class boxes {counts}")
+            return lists
+        short = {classes[i]: c for i, c in enumerate(counts) if c < shot}
+        log(f"fewlist seed {seed} under-filled {short}; retrying")
+    raise RuntimeError(f"k-shot sampling failed for every seed in {seeds}")
+
+
 def stage_few(root):
     from fewshot_detection_tpu.data.prep import VOC_CLASSES, get_bbox_fewlist
 
     voclist = os.path.join(root, "voc", "voclist")
-    lists = get_bbox_fewlist(os.path.join(root, "voc", "train_split.txt"),
-                             SHOT, VOC_CLASSES, seed=2018)
+    # A short-filled NOVEL class would make the dynamic-tune fewset builder
+    # (lists.build_fewset) unfillable — novel-class images are excluded
+    # from its growth pool — so retry seeds until every class hits the full
+    # k-shot BOX budget.
+    lists = _fewlists_full_budget(
+        lambda seed: get_bbox_fewlist(
+            os.path.join(root, "voc", "train_split.txt"), SHOT, VOC_CLASSES,
+            seed=seed),
+        VOC_CLASSES, SHOT)
     fewdict = os.path.join(root, "voc", f"voc_traindict_bbox_{SHOT}shot.txt")
     with open(fewdict, "w") as df:
         for cname, flist in zip(VOC_CLASSES, lists):

@@ -1,0 +1,355 @@
+#!/usr/bin/env python3
+"""COCO-protocol workflow on synthetic data, end to end on TPU.
+
+The COCO analogue of scripts/full_workflow.py (VERDICT r3 item 7): the
+reference's 60-base / 20-novel COCO recipe (README.md:84-152 +
+coco/process_data.py:148-355 in /root/reference) through the REAL CLI
+drivers on a synthetic 80-class COCO-layout tree:
+
+    data   -> synthetic COCO (tests/synth.py make_coco_rich: 80 classes,
+              each a distinct HSV-robust hue-bin x silhouette x fill
+              identity; images/train2014 + labels_1c/train2014/<class>/)
+    plain  -> train.py           (80-class YOLOv2 from scratch)
+    part   -> partial.py         (backbone extraction)
+    base   -> train_meta.py      (60-way episodic base training, novelid 2
+                                  of data/coco_novels.txt = 20 novel)
+    few    -> 10-shot list build (coco_prep.get_bbox_fewlist, the
+                                  process_data.py:148-277 sampler)
+    tune   -> train_meta.py      (10-shot tuning over all 80 classes)
+    evalb  -> valid_ensemble + AP scoring on the BASE checkpoint
+              (60 base classes — the base model only knows those)
+    evalt  -> valid_ensemble + AP scoring on the TUNED checkpoint
+              (all 80, base/novel means split by coco_novels line 2)
+
+Scoring uses the repo's VOC07 11-point AP scorer over the COCO class
+universe (do_python_eval(classes=coco_names)) — the reference never
+shipped a COCO scorer (it used pycocotools externally); AP@0.5 on the
+synthetic devkit is the protocol-faithful stand-in.
+
+Usage:
+    python scripts/full_workflow_coco.py --root /tmp/fsd_coco_r4 [--stage S]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from full_workflow import (  # noqa: E402
+    TPU_ENV, _fewlists_full_budget, cls_loss_summary, done_marker, is_done,
+    latest_weights, log, mark_done, patch_cfg, run_cli,
+)
+
+N_TRAIN = 720
+N_TEST = 80
+IMG_SIZE = (256, 256)
+SHOT = 10
+# compressed budgets (the reference trains 80,200 x b64 on real COCO);
+# chosen so base sees ~100 epochs of the 640-image set
+PLAIN_BATCHES = 1200
+BASE_BATCHES = 2200
+DK_STEPS = "-1,200,40000,60000"
+
+
+def _force_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def stage_data(root):
+    _force_cpu()
+    from synth import make_coco_rich
+
+    d = make_coco_rich(
+        os.path.join(root, "coco"), n_images=N_TRAIN + N_TEST,
+        size=IMG_SIZE, seed=11,
+    )
+    img_paths = d["img_paths"]
+    train_imgs = img_paths[:N_TRAIN]
+    test_imgs = img_paths[N_TRAIN:]
+    train_list = os.path.join(root, "coco", "train_split.txt")
+    test_list = os.path.join(root, "coco", "test_split.txt")
+    open(train_list, "w").write("\n".join(train_imgs) + "\n")
+    open(test_list, "w").write("\n".join(test_imgs) + "\n")
+
+    # devkit imagesets: score ONLY the held-out split
+    test_ids = {os.path.basename(p).split(".")[0] for p in test_imgs}
+    main = os.path.join(d["devkit"], "VOC2007", "ImageSets", "Main")
+    for fname in os.listdir(main):
+        if not fname.endswith("test.txt"):
+            continue
+        path = os.path.join(main, fname)
+        rows = [ln for ln in open(path) if ln.split()[0] in test_ids]
+        open(path, "w").writelines(rows)
+
+    # per-class support lists restricted to the TRAIN split (no leakage)
+    train_set = set(train_imgs)
+    cocolist = os.path.join(root, "coco", "cocolist")
+    os.makedirs(cocolist, exist_ok=True)
+    traindict = os.path.join(root, "coco", "traindict_trainsplit.txt")
+    with open(traindict, "w") as df:
+        for cname, lst in d["cls_lists"].items():
+            kept = [p for p in open(lst).read().splitlines()
+                    if p.strip() and p in train_set]
+            out = os.path.join(cocolist,
+                               f"{cname.replace(' ', '_')}_train.txt")
+            open(out, "w").write("\n".join(kept) + "\n")
+            if kept:
+                df.write(f"{cname} {out}\n")
+
+    plain_data = os.path.join(root, "plain.data")
+    with open(plain_data, "w") as f:
+        f.write(
+            "metayolo=0\ndata=coco\nneg=0\nrand=0\n"
+            f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
+            f"train={train_list}\nvalid={test_list}\n"
+            f"names={REPO}/data/coco.names\nbackup={root}/backup_plain\n"
+            "gpus=0\n"
+        )
+    base_data = os.path.join(root, "base.data")
+    with open(base_data, "w") as f:
+        f.write(
+            "metayolo=1\nmetain_type=2\ndata=coco\nneg=1\nrand=0\n"
+            "tuning=0\nrepeat=1\ndynamic=0\n"
+            f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
+            f"meta={traindict}\ntrain={train_list}\nvalid={test_list}\n"
+            f"backup={root}/backup\ngpus=0\n"
+        )
+    # 80-class plain head: 5*(5+80)=425 filters, classes=80 (the reference
+    # shipped only the VOC cfg; the COCO head is the same formula)
+    with open(os.path.join(REPO, "cfg/yolo-voc.cfg")) as f:
+        txt = f.read().replace("filters=125", "filters=425").replace(
+            "classes=20", "classes=80")
+    plain_cfg = os.path.join(root, "plain.cfg")
+    open(plain_cfg, "w").write(txt)
+    patch_cfg(plain_cfg, plain_cfg, max_batches=PLAIN_BATCHES, batch=32)
+    patch_cfg(os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
+              os.path.join(root, "dk.cfg"), max_batches=BASE_BATCHES,
+              batch=32, steps=DK_STEPS)
+
+    from fewshot_detection_tpu.config import parse_cfg
+    from fewshot_detection_tpu.models import weights_io
+    from fewshot_detection_tpu.models.darknet import init_params
+    from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
+    from fewshot_detection_tpu.models.spec import build_spec
+
+    pspec = build_spec(parse_cfg(plain_cfg))
+    weights_io.save_weights(os.path.join(root, "plain_init.weights"),
+                            [pspec], [init_params(pspec, 11)], seen=0)
+    mspec = MetaSpec(
+        build_spec(parse_cfg(os.path.join(root, "dk.cfg"))),
+        build_spec(parse_cfg(os.path.join(REPO, "cfg/reweighting_net.cfg"))))
+    mp = init_meta_params(mspec, 11)
+    weights_io.save_weights(os.path.join(root, "meta_init.weights"),
+                            [mspec.darknet, mspec.learnet],
+                            [mp["darknet"], mp["learnet"]], seen=0)
+    mark_done(root, "data", {"train": N_TRAIN, "test": N_TEST})
+    log("data stage done")
+
+
+def stage_plain(root):
+    ok = run_cli(
+        root, "plain",
+        [sys.executable, os.path.join(REPO, "train.py"),
+         os.path.join(root, "plain.data"), os.path.join(root, "plain.cfg"),
+         os.path.join(root, "plain_init.weights")],
+        timeout_s=120 * 60,
+        resume_backup=os.path.join(root, "backup_plain_novel2"),
+        resume_argpos=4,
+    )
+    ckpt = latest_weights(os.path.join(root, "backup_plain_novel2"))
+    assert ok and ckpt, "plain training failed"
+    mark_done(root, "plain", {"ckpt": ckpt})
+
+
+def stage_part(root):
+    _force_cpu()
+    from partial import partial as partial_fn
+
+    ckpt = latest_weights(os.path.join(root, "backup_plain_novel2"))
+    out = os.path.join(root, "conv23.weights")
+    partial_fn(os.path.join(root, "plain.cfg"), ckpt, out, 23)
+    assert os.path.exists(out)
+    mark_done(root, "part", {"out": out})
+
+
+def stage_base(root):
+    ok = run_cli(
+        root, "base",
+        [sys.executable, os.path.join(REPO, "train_meta.py"),
+         os.path.join(root, "base.data"), os.path.join(root, "dk.cfg"),
+         os.path.join(REPO, "cfg/reweighting_net.cfg"),
+         os.path.join(root, "conv23.weights")],
+        timeout_s=200 * 60,
+        resume_backup=os.path.join(root, "backup_novel2_neg1"),
+        resume_argpos=5,
+    )
+    ckpt = latest_weights(os.path.join(root, "backup_novel2_neg1"))
+    assert ok and ckpt, "base meta training failed"
+    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"))
+    mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
+    log(f"base stage done: {summary}")
+
+
+def stage_few(root):
+    _force_cpu()
+    from fewshot_detection_tpu.data.coco_prep import get_bbox_fewlist
+    from synth import load_coco_names
+
+    names = load_coco_names()
+    cocolist = os.path.join(root, "coco", "cocolist")
+    lists = _fewlists_full_budget(
+        lambda seed: get_bbox_fewlist(
+            os.path.join(root, "coco", "train_split.txt"), SHOT, names,
+            seed=seed),
+        names, SHOT)
+    fewdict = os.path.join(root, "coco",
+                           f"coco_traindict_bbox_{SHOT}shot.txt")
+    with open(fewdict, "w") as df:
+        for cname, flist in zip(names, lists):
+            out = os.path.join(
+                cocolist,
+                f"box_{SHOT}shot_{cname.replace(' ', '_')}_train.txt")
+            with open(out, "w") as f:
+                f.writelines(flist)
+            df.write(f"{cname} {out}\n")
+
+    tune_data = os.path.join(root, "tune.data")
+    with open(tune_data, "w") as f:
+        f.write(
+            "metayolo=1\nmetain_type=2\ndata=coco\nneg=0\nrand=0\n"
+            "tuning=1\nmax_epoch=100\nrepeat=10\ndynamic=1\nscale=1\n"
+            f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
+            f"meta={fewdict}\ntrain={root}/coco/train_split.txt\n"
+            f"valid={root}/coco/test_split.txt\nbackup={root}/backup_tune\n"
+            "gpus=0\n"
+        )
+    mark_done(root, "few", {"dict": fewdict})
+
+
+def stage_tune(root):
+    base_ckpt = json.load(open(done_marker(root, "base")))["ckpt"]
+    ok = run_cli(
+        root, "tune",
+        [sys.executable, os.path.join(REPO, "train_meta.py"),
+         os.path.join(root, "tune.data"), os.path.join(root, "dk.cfg"),
+         os.path.join(REPO, "cfg/reweighting_net.cfg"), base_ckpt],
+        timeout_s=120 * 60,
+        resume_backup=os.path.join(root, "backup_tune_novel2_neg0"),
+        resume_argpos=5,
+    )
+    bdir = next((os.path.join(root, d) for d in os.listdir(root)
+                 if d.startswith("backup_tune")), None)
+    ckpt = latest_weights(bdir) if bdir else None
+    assert ok and ckpt, "tuning failed"
+    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"))
+    mark_done(root, "tune", {"ckpt": ckpt, "cls": summary})
+    log(f"tune stage done: {summary}")
+
+
+def _eval(root, name, datacfg, ckpt, base_only):
+    """valid_ensemble sweep + AP scoring in a subprocess (tunnel client).
+    base_only=True scores only the 60 base classes (the base-trained model
+    writes result files for those alone)."""
+    script = os.path.join(root, f"eval_{name}.py")
+    with open(script, "w") as f:
+        f.write(f"""
+import json, os, sys
+sys.path.insert(0, {REPO!r})
+sys.path.insert(0, os.path.join({REPO!r}, "tests"))
+from synth import load_coco_names
+from fewshot_detection_tpu.cli.common import resolve_configs
+from fewshot_detection_tpu.config.settings import get_novels
+from fewshot_detection_tpu.eval.valid import run_valid_ensemble
+from fewshot_detection_tpu.eval.voc_eval import do_python_eval
+
+os.chdir({root!r})
+data_options, dk, ln, settings = resolve_configs(
+    {datacfg!r}, os.path.join({root!r}, "dk.cfg"),
+    os.path.join({REPO!r}, "cfg/reweighting_net.cfg"))
+prefix = run_valid_ensemble(data_options, dk, ln, {ckpt!r}, settings)
+names = load_coco_names()
+novel_file = os.path.join({REPO!r}, "data/coco_novels.txt")
+if {base_only!r}:
+    novels = set(get_novels(novel_file, "2"))
+    classes = tuple(n for n in names if n not in novels)
+else:
+    classes = tuple(names)
+result = do_python_eval(
+    prefix + "/comp4_det_test_",
+    devkit_path=os.path.join({root!r}, "coco", "VOCdevkit"),
+    novel=True, novel_file=novel_file, novelid="2", classes=classes)
+print("EVALJSON " + json.dumps({{
+    "stage": {name!r},
+    "mean_ap": round(float(result["mean"]), 4),
+    "base_mean": round(float(result.get("base_mean", 0.0)), 4),
+    "novel_mean": round(float(result.get("novel_mean", 0.0)), 4),
+    "n_classes": len(classes),
+    "checkpoint": {ckpt!r}}}))
+""")
+    os.environ["FSD_EVAL_BATCH"] = "16"
+    ok = run_cli(root, f"eval_{name}", [sys.executable, script],
+                 timeout_s=150 * 60, retries=2)
+    os.environ.pop("FSD_EVAL_BATCH", None)
+    assert ok, f"eval {name} failed"
+    out = None
+    for line in open(os.path.join(root, "logs", f"eval_{name}.log")):
+        if line.startswith("EVALJSON "):
+            out = json.loads(line[len("EVALJSON "):])
+    assert out, "no EVALJSON line"
+    return out
+
+
+def stage_evalb(root):
+    ckpt = json.load(open(done_marker(root, "base")))["ckpt"]
+    res = _eval(root, "base", os.path.join(root, "base.data"), ckpt,
+                base_only=True)
+    mark_done(root, "evalb", res)
+    log(f"base eval: {res}")
+
+
+def stage_evalt(root):
+    ckpt = json.load(open(done_marker(root, "tune")))["ckpt"]
+    res = _eval(root, "tune", os.path.join(root, "tune.data"), ckpt,
+                base_only=False)
+    mark_done(root, "evalt", res)
+    log(f"tuned eval: {res}")
+
+
+STAGES = [
+    ("data", stage_data), ("plain", stage_plain), ("part", stage_part),
+    ("base", stage_base), ("few", stage_few), ("tune", stage_tune),
+    ("evalb", stage_evalb), ("evalt", stage_evalt),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/fsd_coco_r4")
+    ap.add_argument("--stage", default=None)
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+
+    for name, fn in STAGES:
+        if args.stage and name != args.stage:
+            continue
+        if is_done(args.root, name) and not args.stage:
+            log(f"{name}: already done, skipping")
+            continue
+        log(f"=== stage {name} ===")
+        fn(args.root)
+
+    summary = {}
+    for name, _ in STAGES:
+        if is_done(args.root, name):
+            summary[name] = json.load(open(done_marker(args.root, name)))
+    print("WORKFLOW " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

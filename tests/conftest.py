@@ -25,6 +25,43 @@ jax.config.update("jax_platforms", "cpu")
 import pathlib
 import sys
 
+import pytest
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+
+# ---------------------------------------------------------------------------
+# Two test tiers. The multi-minute equivalence soaks (R=2 gradient-sum
+# exactness, 8-dev sharded full-size steps, multiscale mesh switches) are
+# marked @pytest.mark.slow and SKIPPED by default so the quick tier stays
+# under ~15 min on this 1-core host; run the full suite with --runslow or
+# FSD_SLOW_TESTS=1.
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute equivalence soaks)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute equivalence soak; skipped unless --runslow "
+        "or FSD_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("FSD_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow soak (quick tier): pass --runslow or FSD_SLOW_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -6,6 +6,7 @@ sum of the two groups' gradients — and, by extension, the same math the
 reference's DataParallel gather produced."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _batch(rng, R, b, n, s):
     }
 
 
+@pytest.mark.slow
 def test_two_groups_equal_summed_gradients():
     spec = MetaSpec(
         build_spec(parse_cfg("cfg/tiny_darknet_dynamic.cfg")),

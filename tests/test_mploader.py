@@ -114,6 +114,28 @@ def test_mploader_two_workers_stride_partition(synth):
             np.testing.assert_array_equal(a, b)
 
 
+def test_episode_stream_replica_groups(synth):
+    """FSD_WORKERS + multi-device runs: episode_stream must carry one
+    support sample per class PER replica group (the reference's
+    n_cls*num_gpus layout, dataset.py:348) so make_episode_batch's
+    (n_groups, n_cls, ...) reshape holds."""
+    from fewshot_detection_tpu.cli.train_meta_cli import make_episode_batch
+    from fewshot_detection_tpu.data.mploader import episode_stream
+
+    data_options, settings = _settings(synth)
+    lines = open(synth["train_list"]).read().split()
+    n_groups = 2
+    stream = episode_stream(lines, data_options["meta"], settings, 4, 0,
+                            n_groups, worker_id=0, num_workers=1, seed=11)
+    imgs, labels, metax, mask = next(stream)
+    n_cls = labels.shape[1]
+    assert metax.shape[0] == mask.shape[0] == n_groups * n_cls
+    batch = make_episode_batch(imgs, labels, metax, mask, n_groups,
+                               settings.neg_ratio, np.random.RandomState(0))
+    assert batch["metax"].shape[:2] == (n_groups, n_cls)
+    assert batch["x"].shape[:2] == (n_groups, imgs.shape[0] // n_groups)
+
+
 def test_mploader_propagates_worker_errors():
     from fewshot_detection_tpu.data.mploader import MPLoader, episode_stream
 

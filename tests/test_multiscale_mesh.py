@@ -64,6 +64,7 @@ def test_warm_populates_jit_cache(setup):
     assert trainer._step._cache_size() >= 2
 
 
+@pytest.mark.slow
 def test_scale_switch_under_mesh_matches_fixed_shape(setup):
     """Warm two buckets, run at one scale, cross the boundary mid-run with
     sharded inputs; the post-switch step must equal a fresh fixed-shape

@@ -84,6 +84,40 @@ def test_plain_loss_matches_oracle(seen):
     _metrics_close(metrics, ref)
 
 
+def test_warmup_seen_per_instance():
+    """warmup_seen is a per-call argument (settings.warmup_seen), not an
+    import-time env global: warmup_seen=0 at seen=0 must equal the default
+    threshold's post-warm-up behavior (seen=20000), and differ from the
+    default at seen=0 (the all-cells coord warm-up)."""
+    rng = np.random.RandomState(3)
+    nB, H, W = 2, 4, 4
+    out_nchw = (rng.randn(nB, 3 * 9, H, W) * 0.5).astype(np.float32)
+    target = _rand_targets(rng, nB, 2, 4)
+    keep = np.ones(nB, np.float32)
+    args = (jnp.asarray(out_nchw.transpose(0, 2, 3, 1)),
+            jnp.asarray(target), jnp.asarray(keep))
+
+    off_now = region_loss(*args, jnp.asarray(0), REGION4, warmup_seen=0)[1]
+    default_late = region_loss(*args, jnp.asarray(20000), REGION4)[1]
+    default_now = region_loss(*args, jnp.asarray(0), REGION4)[1]
+    np.testing.assert_allclose(
+        float(off_now["loss_x"]), float(default_late["loss_x"]), rtol=1e-6)
+    assert float(default_now["loss_x"]) != pytest.approx(
+        float(default_late["loss_x"]))
+
+
+def test_warmup_seen_settings_field(monkeypatch):
+    """FSD_WARMUP_SEEN is parsed at Settings.configure() time (startup),
+    never at module import."""
+    from fewshot_detection_tpu.config import Settings
+
+    assert Settings.configure({"data": "voc"}).warmup_seen == 12800
+    monkeypatch.setenv("FSD_WARMUP_SEEN", "0")
+    assert Settings.configure({"data": "voc"}).warmup_seen == 0
+    monkeypatch.setenv("FSD_WARMUP_SEEN", "300")
+    assert Settings.configure({"data": "voc"}).warmup_seen == 300
+
+
 def test_plain_loss_zero_tcls():
     rng = np.random.RandomState(1)
     nB, H, W = 2, 4, 4

@@ -120,6 +120,7 @@ def _episode_batch(rng, R, b, n_cls, size):
     }
 
 
+@pytest.mark.slow
 def test_meta_train_step_sharded_8dev(meta_setup):
     """Full train step over an 8-device CPU mesh: one replica group per
     device, params replicated, grads all-reduced by XLA."""
@@ -225,6 +226,7 @@ def test_clip_by_global_norm():
     np.testing.assert_allclose(np.asarray(same["b"]), g["b"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_steps(meta_setup):
     """MetaTrainer.multi_step (N steps in one lax.scan dispatch) computes
     the same math as N sequential step() calls. The scanned body fuses
