@@ -319,9 +319,17 @@ def stage_base(root):
 
 
 def _fewlists_full_budget(sample_fn, classes, shot,
-                          seeds=(2018, 7, 99, 1234, 4242)):
-    """Run a k-shot list sampler until every class reaches exactly `shot`
-    boxes (counting boxes, not images)."""
+                          seeds=(2018, 7, 99, 1234, 4242),
+                          class_pools=None):
+    """Run a k-shot list sampler until every class reaches at least `shot`
+    boxes (counting boxes, not images). A short-filled class would make the
+    dynamic-tune fewset builder (lists.build_fewset) loop forever for novel
+    classes, whose images are excluded from its growth pool.
+
+    class_pools: optional {class_name: [image paths]} — when the sampler's
+    box-budgeted draw leaves a class short (small synthetic pools), top it
+    up from that class's own list; other classes may overshoot their k-shot
+    budget, which build_fewset tolerates (only >= matters)."""
     import numpy as np
 
     from fewshot_detection_tpu.data.datasets import get_labpath
@@ -333,14 +341,40 @@ def _fewlists_full_budget(sample_fn, classes, shot,
             total += int((rows[:, 0].astype(int) == cid).sum())
         return total
 
+    best = None
     for seed in seeds:
-        lists = sample_fn(seed)
+        try:
+            lists = sample_fn(seed)
+        except AssertionError as e:  # coco_prep's 0.8*shot floor
+            log(f"fewlist seed {seed} failed: {e}")
+            continue
         counts = [nboxes(flist, ci) for ci, flist in enumerate(lists)]
         if all(c >= shot for c in counts):
             log(f"fewlist seed {seed}: per-class boxes {counts}")
             return lists
         short = {classes[i]: c for i, c in enumerate(counts) if c < shot}
-        log(f"fewlist seed {seed} under-filled {short}; retrying")
+        log(f"fewlist seed {seed} under-filled {short}")
+        if best is None or len(short) < best[0]:
+            best = (len(short), lists, counts)
+
+    if best is not None and class_pools:
+        _, lists, counts = best
+        for ci, cname in enumerate(classes):
+            pool = [p.strip() for p in class_pools.get(cname, [])]
+            have = {p.strip() for p in lists[ci]}
+            for p in pool:
+                if counts[ci] >= shot:
+                    break
+                if p in have:
+                    continue
+                add = nboxes([p], ci)
+                if add:
+                    lists[ci].append(p + "\n")
+                    counts[ci] += add
+        if all(c >= shot for c in counts):
+            log(f"fewlist: topped up short classes from per-class pools; "
+                f"per-class boxes {counts}")
+            return lists
     raise RuntimeError(f"k-shot sampling failed for every seed in {seeds}")
 
 

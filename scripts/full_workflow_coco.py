@@ -44,7 +44,7 @@ from full_workflow import (  # noqa: E402
     latest_weights, log, mark_done, patch_cfg, run_cli,
 )
 
-N_TRAIN = 720
+N_TRAIN = 1200
 N_TEST = 80
 IMG_SIZE = (256, 256)
 SHOT = 10
@@ -203,11 +203,19 @@ def stage_few(root):
 
     names = load_coco_names()
     cocolist = os.path.join(root, "coco", "cocolist")
+    # per-class candidate pools (train split only) for shortfall top-up
+    from fewshot_detection_tpu.data.lists import parse_dict_file
+
+    pools = {
+        cls: open(path).read().splitlines()
+        for cls, path in parse_dict_file(
+            os.path.join(root, "coco", "traindict_trainsplit.txt"))
+    }
     lists = _fewlists_full_budget(
         lambda seed: get_bbox_fewlist(
             os.path.join(root, "coco", "train_split.txt"), SHOT, names,
             seed=seed),
-        names, SHOT)
+        names, SHOT, class_pools=pools)
     fewdict = os.path.join(root, "coco",
                            f"coco_traindict_bbox_{SHOT}shot.txt")
     with open(fewdict, "w") as df:
