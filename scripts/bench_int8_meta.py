@@ -65,13 +65,22 @@ def main():
     codes = m.class_codes(metax[:N_CLS], mask[:N_CLS])
     committed = m.commit_codes(codes)
 
+    def dev_pct(ref, q):
+        """max |q - ref| as % of ref's activation range."""
+        ref = np.asarray(ref, np.float32)
+        q = np.asarray(q, np.float32)
+        rng_ = float(ref.max() - ref.min()) or 1.0
+        return round(100.0 * float(np.abs(q - ref).max()) / rng_, 2)
+
     results = {}
     # phase 1: learnet codes, bf16
     mx, mk = jnp.asarray(metax), jnp.asarray(mask)
+    codes_ref = np.asarray(m._codes(m.params, mx, mk)[0])
     results["codes_bf16_img_s"] = round(
         rate(lambda: m._codes(m.params, mx, mk)[0], sb), 1)
     # phase 2: detection sweep, bf16
     xi = jnp.asarray(imgs)
+    det_ref = np.asarray(m._detect(m.params, xi, committed))
     results["detect_bf16_img_s"] = round(
         rate(lambda: m._detect(m.params, xi, committed), args.batch), 1)
 
@@ -79,13 +88,19 @@ def main():
     m.quantize_int8(imgs, codes, calib_support=(metax[:N_CLS], mask[:N_CLS]))
     results["codes_int8_img_s"] = round(
         rate(lambda: m._codes_int8(m.lqparams, mx, mk)[0], sb), 1)
+    results["codes_int8_dev_pct"] = dev_pct(
+        codes_ref, m._codes_int8(m.lqparams, mx, mk)[0])
     results["detect_int8_img_s"] = round(
         rate(lambda: m._detect_int8(m.qparams, xi, committed), args.batch), 1)
+    results["detect_int8_dev_pct"] = dev_pct(
+        det_ref, m._detect_int8(m.qparams, xi, committed))
 
     # + int8 fused reweight+head
     m.quantize_int8(imgs, codes, calib_support=None, quant_head=True)
     results["detect_int8_head_img_s"] = round(
         rate(lambda: m._detect_int8(m.qparams, xi, committed), args.batch), 1)
+    results["detect_int8_head_dev_pct"] = dev_pct(
+        det_ref, m._detect_int8(m.qparams, xi, committed))
 
     print(json.dumps({"metric": "int8_meta_serving", "batch": args.batch,
                       "support_batch": sb, **results}))
