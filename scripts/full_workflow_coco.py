@@ -48,10 +48,11 @@ N_TRAIN = 1200
 N_TEST = 80
 IMG_SIZE = (256, 256)
 SHOT = 10
-# compressed budgets (the reference trains 80,200 x b64 on real COCO);
-# chosen so base sees ~100 epochs of the 640-image set
-PLAIN_BATCHES = 1200
-BASE_BATCHES = 2200
+# compressed budgets (the reference trains 80,200 x b64 on real COCO),
+# sized to the round's wall clock: the 60-way episodic step decodes 92
+# images per batch on this 1-core host
+PLAIN_BATCHES = 900
+BASE_BATCHES = 1500
 DK_STEPS = "-1,200,40000,60000"
 
 
@@ -231,7 +232,7 @@ def stage_few(root):
     with open(tune_data, "w") as f:
         f.write(
             "metayolo=1\nmetain_type=2\ndata=coco\nneg=0\nrand=0\n"
-            "tuning=1\nmax_epoch=100\nrepeat=10\ndynamic=1\nscale=1\n"
+            "tuning=1\nmax_epoch=80\nrepeat=10\ndynamic=1\nscale=1\n"
             f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
             f"meta={fewdict}\ntrain={root}/coco/train_split.txt\n"
             f"valid={root}/coco/test_split.txt\nbackup={root}/backup_tune\n"
