@@ -52,7 +52,7 @@ SHOT = 10
 # sized to the round's wall clock: the 60-way episodic step decodes 92
 # images per batch on this 1-core host
 PLAIN_BATCHES = 900
-BASE_BATCHES = 1500
+BASE_BATCHES = 1200
 DK_STEPS = "-1,200,40000,60000"
 
 
@@ -232,7 +232,7 @@ def stage_few(root):
     with open(tune_data, "w") as f:
         f.write(
             "metayolo=1\nmetain_type=2\ndata=coco\nneg=0\nrand=0\n"
-            "tuning=1\nmax_epoch=80\nrepeat=10\ndynamic=1\nscale=1\n"
+            "tuning=1\nmax_epoch=40\nrepeat=10\ndynamic=1\nscale=1\n"
             f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
             f"meta={fewdict}\ntrain={root}/coco/train_split.txt\n"
             f"valid={root}/coco/test_split.txt\nbackup={root}/backup_tune\n"
