@@ -28,7 +28,7 @@ def fence(x):
     return float(np.asarray(x).ravel()[0])
 
 
-def rate(fn, n_items, iters=10, warmup=2):
+def rate(fn, n_items, iters=40, warmup=3):
     for _ in range(warmup):
         out = fn()
     fence(out)
@@ -43,17 +43,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--support-batch", type=int, default=64)
+    ap.add_argument("--weights", default=None,
+                    help="trained .weights checkpoint — random init collapses "
+                    "activations through 31 layers and underreports "
+                    "quantization deviation")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from fewshot_detection_tpu.eval.detector import MetaDetector
+    from fewshot_detection_tpu.models import meta as meta_mod
+    from fewshot_detection_tpu.models.darknet import fold_batchnorm, folded_spec
+    from fewshot_detection_tpu.models.meta import MetaSpec
 
     rng = np.random.RandomState(0)
     m = MetaDetector(
         os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
         os.path.join(REPO, "cfg/reweighting_net.cfg"),
+        args.weights,
         compute_dtype=jnp.bfloat16,
     )
 
@@ -78,11 +87,31 @@ def main():
     codes_ref = np.asarray(m._codes(m.params, mx, mk)[0])
     results["codes_bf16_img_s"] = round(
         rate(lambda: m._codes(m.params, mx, mk)[0], sb), 1)
-    # phase 2: detection sweep, bf16
+    # phase 2: detection sweep, bf16 (BN applied per layer at inference)
     xi = jnp.asarray(imgs)
     det_ref = np.asarray(m._detect(m.params, xi, committed))
     results["detect_bf16_img_s"] = round(
         rate(lambda: m._detect(m.params, xi, committed), args.batch), 1)
+
+    # bf16 on the BN-FOLDED graph — the apples-to-apples serving baseline
+    # for the int8 rows (quantization starts from the folded weights)
+    fspec = MetaSpec(folded_spec(m.spec.darknet), m.spec.learnet)
+    fparams = {
+        "darknet": [jax.device_put(p) if p is not None else None
+                    for p in fold_batchnorm(m.spec.darknet,
+                                            m.params["darknet"])],
+        "learnet": None,
+    }
+    detect_fold = jax.jit(
+        lambda p, x, dw: meta_mod.detect_forward(
+            fspec, p, x.astype(jnp.bfloat16),
+            [d.astype(jnp.bfloat16) for d in dw],
+            train=False, fuse=True,
+        )[0].astype(jnp.float32))
+    results["detect_bf16_folded_img_s"] = round(
+        rate(lambda: detect_fold(fparams, xi, committed), args.batch), 1)
+    results["detect_bf16_folded_dev_pct"] = dev_pct(
+        det_ref, detect_fold(fparams, xi, committed))
 
     # quantize: backbone + learnet, head still bf16
     m.quantize_int8(imgs, codes, calib_support=(metax[:N_CLS], mask[:N_CLS]))

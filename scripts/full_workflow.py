@@ -44,6 +44,10 @@ N_TRAIN = 512
 N_TEST = 128
 IMG_SIZE = (256, 256)
 SHOT = 10
+PLAIN_BATCHES = 1600
+BASE_BATCHES = 3500
+TUNE_MAX_EPOCH = 200
+TUNE_REPEAT = 20
 # Synthetic class style (tests/synth.py). Round-3 finding (PERF.md
 # "support-code signal"): style=shape randomizes each instance's COLOR, so
 # the learnet's masked-pooled support codes are episode noise
@@ -249,9 +253,10 @@ def stage_data(root):
             f"backup={root}/backup\ngpus=0\n"
         )
     patch_cfg(os.path.join(REPO, "cfg/yolo-voc.cfg"),
-              os.path.join(root, "plain.cfg"), max_batches=1600, batch=32)
+              os.path.join(root, "plain.cfg"), max_batches=PLAIN_BATCHES,
+              batch=32)
     patch_cfg(os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
-              os.path.join(root, "dk.cfg"), max_batches=3500, batch=32,
+              os.path.join(root, "dk.cfg"), max_batches=BASE_BATCHES, batch=32,
               steps=DK_STEPS)
 
     # random-init weights for both graphs
@@ -403,7 +408,8 @@ def stage_few(root):
     with open(tune_data, "w") as f:
         f.write(
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=0\nrand=0\n"
-            "tuning=1\nmax_epoch=200\nrepeat=20\ndynamic=1\nscale=1\n"
+            f"tuning=1\nmax_epoch={TUNE_MAX_EPOCH}\nrepeat={TUNE_REPEAT}\n"
+            "dynamic=1\nscale=1\n"
             f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
             f"meta={fewdict}\ntrain={root}/voc/train_split.txt\n"
             f"valid={root}/voc/test_split.txt\nbackup={root}/backup_tune\ngpus=0\n"
@@ -497,7 +503,8 @@ STAGES = [
 
 
 def main():
-    global STYLE
+    global STYLE, N_TRAIN, N_TEST
+    global PLAIN_BATCHES, BASE_BATCHES, TUNE_MAX_EPOCH, TUNE_REPEAT
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/fsd_r3")
     ap.add_argument("--stage", default=None,
@@ -507,9 +514,29 @@ def main():
                     "then run (keeps earlier stages, e.g. plain/conv23)")
     ap.add_argument("--style", default=None,
                     help=f"synthetic class style (default {STYLE})")
+    ap.add_argument("--n-train", type=int, default=None,
+                    help="train-pool size; smaller pools trade diversity "
+                    "for epochs under a fixed batch budget")
+    ap.add_argument("--n-test", type=int, default=None)
+    ap.add_argument("--plain-batches", type=int, default=None)
+    ap.add_argument("--base-batches", type=int, default=None)
+    ap.add_argument("--tune-max-epoch", type=int, default=None)
+    ap.add_argument("--tune-repeat", type=int, default=None)
     args = ap.parse_args()
     if args.style:
         STYLE = args.style
+    if args.n_train:
+        N_TRAIN = args.n_train
+    if args.n_test:
+        N_TEST = args.n_test
+    if args.plain_batches:
+        PLAIN_BATCHES = args.plain_batches
+    if args.base_batches:
+        BASE_BATCHES = args.base_batches
+    if args.tune_max_epoch:
+        TUNE_MAX_EPOCH = args.tune_max_epoch
+    if args.tune_repeat:
+        TUNE_REPEAT = args.tune_repeat
     os.makedirs(args.root, exist_ok=True)
 
     if args.reset_from:
