@@ -362,8 +362,14 @@ def _fewlists_full_budget(sample_fn, classes, shot,
         if best is None or len(short) < best[0]:
             best = (len(short), lists, counts)
 
-    if best is not None and class_pools:
-        _, lists, counts = best
+    if class_pools:
+        if best is not None:
+            _, lists, counts = best
+        else:
+            # every seed tripped the sampler's own floor (tiny pools) —
+            # build the lists entirely from the per-class pools
+            lists = [[] for _ in classes]
+            counts = [0] * len(classes)
         for ci, cname in enumerate(classes):
             pool = [p.strip() for p in class_pools.get(cname, [])]
             have = {p.strip() for p in lists[ci]}
