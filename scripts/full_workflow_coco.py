@@ -50,9 +50,11 @@ IMG_SIZE = (256, 256)
 SHOT = 10
 # compressed budgets (the reference trains 80,200 x b64 on real COCO),
 # sized to the round's wall clock: the 60-way episodic step decodes 92
-# images per batch on this 1-core host
+# images per batch on this 1-core host and MEASURED at ~15 s/batch end to
+# end through the tunnel (2.1 det-img/s — the 60-way fused head is ~4x the
+# 15-way VOC step on top of the decode), so 320 base batches ~ 80 min
 PLAIN_BATCHES = 900
-BASE_BATCHES = 1200
+BASE_BATCHES = 320
 DK_STEPS = "-1,200,40000,60000"
 
 
@@ -231,8 +233,14 @@ def stage_few(root):
     tune_data = os.path.join(root, "tune.data")
     with open(tune_data, "w") as f:
         f.write(
+            # max_epoch/repeat -> 2 tuning epochs over a 2x10-shot dynamic
+            # fewset: at the measured ~18 s/batch for the 80-way tuning
+            # step this is the budget that fits the round; the protocol
+            # (build_fewset growth, 80-way episodic, scale=1) is unchanged.
+            # COCO tuning save_interval is pinned to 2 (cfg.py:97-99), so
+            # the epoch count must be even for the final save to fire.
             "metayolo=1\nmetain_type=2\ndata=coco\nneg=0\nrand=0\n"
-            "tuning=1\nmax_epoch=40\nrepeat=10\ndynamic=1\nscale=1\n"
+            "tuning=1\nmax_epoch=4\nrepeat=2\ndynamic=1\nscale=1\n"
             f"novel={REPO}/data/coco_novels.txt\nnovelid=2\n"
             f"meta={fewdict}\ntrain={root}/coco/train_split.txt\n"
             f"valid={root}/coco/test_split.txt\nbackup={root}/backup_tune\n"
