@@ -470,6 +470,7 @@ print("EVALJSON " + json.dumps({{
     "mean_ap": round(float(result["mean"]), 4),
     "base_mean": round(float(result.get("base_mean", 0.0)), 4),
     "novel_mean": round(float(result.get("novel_mean", 0.0)), 4),
+    "aps": {{c: round(float(a), 4) for c, a in result["ap"].items()}},
     "checkpoint": {ckpt!r}}}))
 """)
     env_extra = {"FSD_EVAL_BATCH": "16", "FSD_DEVICE_NMS": "1"}

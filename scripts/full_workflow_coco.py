@@ -307,6 +307,7 @@ print("EVALJSON " + json.dumps({{
     "base_mean": round(float(result.get("base_mean", 0.0)), 4),
     "novel_mean": round(float(result.get("novel_mean", 0.0)), 4),
     "n_classes": len(classes),
+    "aps": {{c: round(float(a), 4) for c, a in result["ap"].items()}},
     "checkpoint": {ckpt!r}}}))
 """)
     os.environ["FSD_EVAL_BATCH"] = "16"
