@@ -30,6 +30,7 @@ Usage:
 
 import argparse
 import json
+import math
 import os
 import re
 import subprocess
@@ -165,8 +166,10 @@ def run_cli(root, name, argv, timeout_s, retries=3, resume_backup=None,
     return False
 
 
-def cls_loss_summary(logfile, tail=50):
-    """Mean loss_cls / nGT over the last `tail` loss lines; random15 = ln 15."""
+def cls_loss_summary(logfile, tail=50, n_cls=15):
+    """Mean loss_cls / nGT over the last `tail` loss lines, against the
+    uniform-logits baseline ln(n_cls) — pass the episode's class count
+    (15 for VOC base, 20 for VOC tuning, 60/80 for the COCO stages)."""
     rows = []
     pat = re.compile(r"nGT (\d+),.* cls ([0-9.]+),")
     with open(logfile) as f:
@@ -179,7 +182,8 @@ def cls_loss_summary(logfile, tail=50):
         return None
     per_gt = [c / max(n, 1) for n, c in rows]
     return {"mean_cls_per_gt": sum(per_gt) / len(per_gt),
-            "random_cls_per_gt": 2.708, "n_lines": len(rows)}
+            "random_cls_per_gt": round(math.log(n_cls), 4),
+            "n_lines": len(rows)}
 
 
 # ---------------------------------------------------------------- stages
@@ -318,7 +322,7 @@ def stage_base(root):
     )
     ckpt = latest_weights(os.path.join(root, "backup_novel0_neg1"))
     assert ok and ckpt, "base meta training failed"
-    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"))
+    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"), n_cls=15)
     mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
     log(f"base stage done: {summary}")
 
@@ -439,7 +443,7 @@ def stage_tune(root):
                  if d.startswith("backup_tune")), None)
     ckpt = latest_weights(bdir) if bdir else None
     assert ok and ckpt, "tuning failed"
-    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"))
+    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"), n_cls=20)
     mark_done(root, "tune", {"ckpt": ckpt, "cls": summary})
     log(f"tune stage done: {summary}")
 

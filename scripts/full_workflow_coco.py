@@ -194,7 +194,7 @@ def stage_base(root):
     )
     ckpt = latest_weights(os.path.join(root, "backup_novel2_neg1"))
     assert ok and ckpt, "base meta training failed"
-    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"))
+    summary = cls_loss_summary(os.path.join(root, "logs", "base.log"), n_cls=60)
     mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
     log(f"base stage done: {summary}")
 
@@ -264,7 +264,7 @@ def stage_tune(root):
                  if d.startswith("backup_tune")), None)
     ckpt = latest_weights(bdir) if bdir else None
     assert ok and ckpt, "tuning failed"
-    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"))
+    summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"), n_cls=80)
     mark_done(root, "tune", {"ckpt": ckpt, "cls": summary})
     log(f"tune stage done: {summary}")
 
