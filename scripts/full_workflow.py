@@ -64,6 +64,23 @@ STYLE = "huebin"
 # at lr/10 (the reference spends 0.6%).
 DK_STEPS = "-1,300,40000,60000"
 
+# --tiny mode: the cfg scale at which compressed-schedule streaming
+# learning is PROVEN (PERF.md round 3: tiny cfgs + huebin + warm-up off
+# reach mAP 0.158 in 600 b4 batches). The flagship 416px cfgs need ~50x
+# the reference schedule fraction to move cls (PERF.md round 4); tiny mode
+# exists to demonstrate the few-shot TUNING DELTA — evalb vs evalt novel
+# AP — with real learning signal inside one round's wall clock. plain /
+# part are skipped (the tiny plain head shares no backbone prefix with
+# tiny_darknet_dynamic; backbone-transplant plumbing is already proven on
+# hardware at the flagship cfgs) and base meta training starts from
+# random init + FSD_CLIP_NORM, exactly the proven probe recipe.
+TINY = False
+DK_SRC = "cfg/darknet_dynamic.cfg"
+LN_SRC = "cfg/reweighting_net.cfg"
+DK_BATCH = 32
+TUNE_SCALE = 1  # reference metatune.data scale=1; tiny pins 0 (128px cfg
+                # sits below the 320-608 multiscale range, dataset.py:223-245)
+
 TPU_ENV = {
     "FSD_CLIP_NORM": "10",   # from-random-init stabilizer (opt-in extension)
     "FSD_DTYPE": "bfloat16",  # halve tunnel H2D image traffic
@@ -252,16 +269,18 @@ def stage_data(root):
         f.write(
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=1\nrand=0\n"
             "tuning=0\nrepeat=1\ndynamic=0\n"
-            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            + ("scale=0\n" if TINY else "")
+            + f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
             f"meta={traindict}\ntrain={train_list}\nvalid={test_list}\n"
             f"backup={root}/backup\ngpus=0\n"
         )
-    patch_cfg(os.path.join(REPO, "cfg/yolo-voc.cfg"),
-              os.path.join(root, "plain.cfg"), max_batches=PLAIN_BATCHES,
-              batch=32)
-    patch_cfg(os.path.join(REPO, "cfg/darknet_dynamic.cfg"),
-              os.path.join(root, "dk.cfg"), max_batches=BASE_BATCHES, batch=32,
-              steps=DK_STEPS)
+    if not TINY:
+        patch_cfg(os.path.join(REPO, "cfg/yolo-voc.cfg"),
+                  os.path.join(root, "plain.cfg"), max_batches=PLAIN_BATCHES,
+                  batch=32)
+    patch_cfg(os.path.join(REPO, DK_SRC),
+              os.path.join(root, "dk.cfg"), max_batches=BASE_BATCHES,
+              batch=DK_BATCH, steps=DK_STEPS)
 
     # random-init weights for both graphs
     from fewshot_detection_tpu.config import parse_cfg
@@ -270,11 +289,12 @@ def stage_data(root):
     from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
     from fewshot_detection_tpu.models.spec import build_spec
 
-    pspec = build_spec(parse_cfg(os.path.join(root, "plain.cfg")))
-    weights_io.save_weights(os.path.join(root, "plain_init.weights"),
-                            [pspec], [init_params(pspec, 7)], seen=0)
+    if not TINY:
+        pspec = build_spec(parse_cfg(os.path.join(root, "plain.cfg")))
+        weights_io.save_weights(os.path.join(root, "plain_init.weights"),
+                                [pspec], [init_params(pspec, 7)], seen=0)
     mspec = MetaSpec(build_spec(parse_cfg(os.path.join(root, "dk.cfg"))),
-                     build_spec(parse_cfg(os.path.join(REPO, "cfg/reweighting_net.cfg"))))
+                     build_spec(parse_cfg(os.path.join(REPO, LN_SRC))))
     mp = init_meta_params(mspec, 7)
     weights_io.save_weights(os.path.join(root, "meta_init.weights"),
                             [mspec.darknet, mspec.learnet],
@@ -310,17 +330,24 @@ def stage_part(root):
 
 
 def stage_base(root):
+    # tiny mode: no plain/part stages — random init (+ FSD_CLIP_NORM),
+    # the proven probe recipe; flagship: the extracted backbone.
+    init_w = os.path.join(root,
+                          "meta_init.weights" if TINY else "conv23.weights")
+    # scale=0 (tiny) gets the 'fix' mangle in the backup dir name
+    # (settings.py backup rules / reference cfg.py:130-147)
+    bdir = os.path.join(root,
+                        "backupfix_novel0_neg1" if TINY else "backup_novel0_neg1")
     ok = run_cli(
         root, "base",
         [sys.executable, os.path.join(REPO, "train_meta.py"),
          os.path.join(root, "base.data"), os.path.join(root, "dk.cfg"),
-         os.path.join(REPO, "cfg/reweighting_net.cfg"),
-         os.path.join(root, "conv23.weights")],
+         os.path.join(REPO, LN_SRC), init_w],
         timeout_s=170 * 60,
-        resume_backup=os.path.join(root, "backup_novel0_neg1"),
+        resume_backup=bdir,
         resume_argpos=5,
     )
-    ckpt = latest_weights(os.path.join(root, "backup_novel0_neg1"))
+    ckpt = latest_weights(bdir)
     assert ok and ckpt, "base meta training failed"
     summary = cls_loss_summary(os.path.join(root, "logs", "base.log"), n_cls=15)
     mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
@@ -419,7 +446,7 @@ def stage_few(root):
         f.write(
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=0\nrand=0\n"
             f"tuning=1\nmax_epoch={TUNE_MAX_EPOCH}\nrepeat={TUNE_REPEAT}\n"
-            "dynamic=1\nscale=1\n"
+            f"dynamic=1\nscale={TUNE_SCALE}\n"
             f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
             f"meta={fewdict}\ntrain={root}/voc/train_split.txt\n"
             f"valid={root}/voc/test_split.txt\nbackup={root}/backup_tune\ngpus=0\n"
@@ -434,7 +461,7 @@ def stage_tune(root):
         root, "tune",
         [sys.executable, os.path.join(REPO, "train_meta.py"),
          os.path.join(root, "tune.data"), os.path.join(root, "dk.cfg"),
-         os.path.join(REPO, "cfg/reweighting_net.cfg"), base_ckpt],
+         os.path.join(REPO, LN_SRC), base_ckpt],
         timeout_s=100 * 60,
         resume_backup=os.path.join(root, "backup_tune_novel0_neg0"),
         resume_argpos=5,
@@ -462,7 +489,7 @@ from fewshot_detection_tpu.eval.voc_eval import do_python_eval
 os.chdir({root!r})
 data_options, dk, ln, settings = resolve_configs(
     {datacfg!r}, os.path.join({root!r}, "dk.cfg"),
-    os.path.join({REPO!r}, "cfg/reweighting_net.cfg"))
+    os.path.join({REPO!r}, {LN_SRC!r}))
 prefix = run_valid_ensemble(data_options, dk, ln, {ckpt!r}, settings)
 result = do_python_eval(
     prefix + "/comp4_det_test_",
@@ -514,8 +541,9 @@ STAGES = [
 
 
 def main():
-    global STYLE, N_TRAIN, N_TEST
+    global STYLE, N_TRAIN, N_TEST, IMG_SIZE
     global PLAIN_BATCHES, BASE_BATCHES, TUNE_MAX_EPOCH, TUNE_REPEAT
+    global TINY, DK_SRC, LN_SRC, DK_BATCH, DK_STEPS, TUNE_SCALE
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/fsd_r3")
     ap.add_argument("--stage", default=None,
@@ -533,7 +561,26 @@ def main():
     ap.add_argument("--base-batches", type=int, default=None)
     ap.add_argument("--tune-max-epoch", type=int, default=None)
     ap.add_argument("--tune-repeat", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny cfgs (128px, cfg/tiny_*) at the scale where "
+                    "compressed-schedule streaming learning is proven — "
+                    "demonstrates the few-shot tuning delta with signal; "
+                    "plain/part are skipped (base trains from random init)")
     args = ap.parse_args()
+    if args.tiny:
+        TINY = True
+        DK_SRC = "cfg/tiny_darknet_dynamic.cfg"
+        LN_SRC = "cfg/tiny_reweighting.cfg"
+        DK_BATCH = 4          # the proven probe batch size
+        # keep full LR after a short warmup; the shipped tiny cfg decays
+        # x100 by batch 80, starving anything longer than a smoke test
+        DK_STEPS = "-1,20,40000,60000"
+        TUNE_SCALE = 0
+        IMG_SIZE = (128, 128)
+        N_TRAIN, N_TEST = 384, 96
+        BASE_BATCHES = 2400   # 4x the proven 600-batch probe (more images)
+        TUNE_MAX_EPOCH = 10
+        TUNE_REPEAT = 20
     if args.style:
         STYLE = args.style
     if args.n_train:
@@ -550,8 +597,11 @@ def main():
         TUNE_REPEAT = args.tune_repeat
     os.makedirs(args.root, exist_ok=True)
 
+    stages = [(n, f) for n, f in STAGES
+              if not (TINY and n in ("plain", "part"))]
+
     if args.reset_from:
-        names = [n for n, _ in STAGES]
+        names = [n for n, _ in stages]
         idx = names.index(args.reset_from)
         import shutil
 
@@ -566,7 +616,7 @@ def main():
                               ignore_errors=True)
         log(f"reset stages from {args.reset_from}: {names[idx:]}")
 
-    for name, fn in STAGES:
+    for name, fn in stages:
         if args.stage and name != args.stage:
             continue
         if is_done(args.root, name) and not args.stage:
@@ -576,7 +626,7 @@ def main():
         fn(args.root)
 
     summary = {}
-    for name, _ in STAGES:
+    for name, _ in stages:
         if is_done(args.root, name):
             summary[name] = json.load(open(done_marker(args.root, name)))
     print("WORKFLOW " + json.dumps(summary))
