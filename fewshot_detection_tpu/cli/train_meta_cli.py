@@ -182,9 +182,14 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
 
     mesh = None
     if n_groups > 1:
-        from ..parallel import make_mesh, shard_batch
+        from ..parallel import make_mesh, replicate, shard_batch
 
         mesh = make_mesh(n_groups)
+        # commit params/momentum replicated on the mesh once — leaving them
+        # single-device next to sharded batches makes XLA reshard the full
+        # parameter set every step (measured 6x step slowdown)
+        params = replicate(mesh, params)
+        mom = replicate(mesh, mom)
 
     if os.environ.get("FSD_WARM", "0") == "1" and settings.multiscale:
         log("pre-compiling multiscale buckets...")

@@ -71,9 +71,13 @@ def main(datacfg, cfgfile, weightfile):
 
     mesh = None
     if n_groups > 1:
-        from ..parallel import make_mesh
+        from ..parallel import make_mesh, replicate
 
         mesh = make_mesh(n_groups)
+        # see train_meta_cli: params left single-device next to sharded
+        # batches are resharded every step — replicate once up front
+        params = replicate(mesh, params)
+        mom = replicate(mesh, mom)
 
     rng = random.Random(int(time.time()))
     nprng = np.random.RandomState(rng.randrange(2**31))

@@ -1,3 +1,8 @@
-from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
+from .mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "replicate",
+]

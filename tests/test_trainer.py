@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from fewshot_detection_tpu.config import parse_cfg
 from fewshot_detection_tpu.models.meta import MetaSpec, init_meta_params
 from fewshot_detection_tpu.models.spec import build_spec
-from fewshot_detection_tpu.parallel import make_mesh, shard_batch
+from fewshot_detection_tpu.parallel import make_mesh, replicate, shard_batch
 from fewshot_detection_tpu.train import (
     MetaTrainer,
     init_momentum,
@@ -128,7 +128,8 @@ def test_meta_train_step_sharded_8dev(meta_setup):
     mesh = make_mesh(8)
     trainer = MetaTrainer(spec, momentum=0.9, weight_decay=0.0005,
                           donate=False)
-    mom = init_momentum(params)
+    params = replicate(mesh, params)
+    mom = replicate(mesh, init_momentum(params))
 
     rng = np.random.RandomState(0)
     batch = _episode_batch(rng, R=8, b=1, n_cls=3, size=64)
