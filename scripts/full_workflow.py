@@ -25,7 +25,7 @@ stages run as subprocesses (one tunnel client at a time) with retries that
 resume from the newest .weights checkpoint.
 
 Usage:
-    python scripts/full_workflow.py --root /tmp/fsd_r3 [--stage STAGE]
+    python scripts/full_workflow.py [--tiny] [--root DIR] [--stage STAGE]
 """
 
 import argparse
@@ -105,6 +105,42 @@ TPU_ENV = {
 
 def log(msg):
     print(f"[workflow {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def base_backup_dir(root):
+    """Backup dir the base stage's settings mangle resolves to: base.data
+    pins scale=0 in tiny mode, which inserts 'fix' (settings.py backup
+    rules / reference cfg.py:130-147)."""
+    return os.path.join(
+        root, "backupfix_novel0_neg1" if TINY else "backup_novel0_neg1")
+
+
+def tune_backup_dir(root):
+    """Backup dir the tune stage resolves to: tune.data carries
+    scale={TUNE_SCALE}, so the 'fix' mangle follows TUNE_SCALE, not TINY."""
+    return os.path.join(
+        root,
+        "backup_tunefix_novel0_neg0" if TUNE_SCALE == 0
+        else "backup_tune_novel0_neg0")
+
+
+def root_mode():
+    return "tiny" if TINY else "flagship"
+
+
+def recorded_mode(root):
+    """Mode a root's finished data stage was built in; None if no data stage.
+    Pre-mode-marker roots are inferred from base.data (tiny pins scale=0)."""
+    marker = done_marker(root, "data")
+    if not os.path.exists(marker):
+        return None
+    payload = json.load(open(marker))
+    if "mode" in payload:
+        return payload["mode"]
+    base_data = os.path.join(root, "base.data")
+    if not os.path.exists(base_data):
+        return None
+    return "tiny" if "scale=0" in open(base_data).read() else "flagship"
 
 
 def done_marker(root, stage):
@@ -299,7 +335,8 @@ def stage_data(root):
     weights_io.save_weights(os.path.join(root, "meta_init.weights"),
                             [mspec.darknet, mspec.learnet],
                             [mp["darknet"], mp["learnet"]], seen=0)
-    mark_done(root, "data", {"train": N_TRAIN, "test": N_TEST})
+    mark_done(root, "data",
+              {"train": N_TRAIN, "test": N_TEST, "mode": root_mode()})
     log("data stage done")
 
 
@@ -334,10 +371,7 @@ def stage_base(root):
     # the proven probe recipe; flagship: the extracted backbone.
     init_w = os.path.join(root,
                           "meta_init.weights" if TINY else "conv23.weights")
-    # scale=0 (tiny) gets the 'fix' mangle in the backup dir name
-    # (settings.py backup rules / reference cfg.py:130-147)
-    bdir = os.path.join(root,
-                        "backupfix_novel0_neg1" if TINY else "backup_novel0_neg1")
+    bdir = base_backup_dir(root)
     ok = run_cli(
         root, "base",
         [sys.executable, os.path.join(REPO, "train_meta.py"),
@@ -456,19 +490,20 @@ def stage_few(root):
 
 def stage_tune(root):
     base_ckpt = json.load(open(done_marker(root, "base")))["ckpt"]
-    # tuning backup dir gets the settings mangle: _novel0_neg0
+    # tuning backup dir gets the settings mangle: [fix]_novel0_neg0 — the
+    # exact name (shared with run_cli's resume), NOT a prefix glob that
+    # could pick a stale mixed-mode dir
+    bdir = tune_backup_dir(root)
     ok = run_cli(
         root, "tune",
         [sys.executable, os.path.join(REPO, "train_meta.py"),
          os.path.join(root, "tune.data"), os.path.join(root, "dk.cfg"),
          os.path.join(REPO, LN_SRC), base_ckpt],
         timeout_s=100 * 60,
-        resume_backup=os.path.join(root, "backup_tune_novel0_neg0"),
+        resume_backup=bdir,
         resume_argpos=5,
     )
-    bdir = next((os.path.join(root, d) for d in os.listdir(root)
-                 if d.startswith("backup_tune")), None)
-    ckpt = latest_weights(bdir) if bdir else None
+    ckpt = latest_weights(bdir) if os.path.isdir(bdir) else None
     assert ok and ckpt, "tuning failed"
     summary = cls_loss_summary(os.path.join(root, "logs", "tune.log"), n_cls=20)
     mark_done(root, "tune", {"ckpt": ckpt, "cls": summary})
@@ -545,7 +580,10 @@ def main():
     global PLAIN_BATCHES, BASE_BATCHES, TUNE_MAX_EPOCH, TUNE_REPEAT
     global TINY, DK_SRC, LN_SRC, DK_BATCH, DK_STEPS, TUNE_SCALE
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/fsd_r3")
+    ap.add_argument("--root", default=None,
+                    help="workflow root (default: /tmp/fsd_flagship, or "
+                    "/tmp/fsd_tiny with --tiny — separate defaults so the "
+                    "two modes never share a root by accident)")
     ap.add_argument("--stage", default=None,
                     help="run only this stage (default: all remaining)")
     ap.add_argument("--reset-from", default=None,
@@ -595,6 +633,8 @@ def main():
         TUNE_MAX_EPOCH = args.tune_max_epoch
     if args.tune_repeat:
         TUNE_REPEAT = args.tune_repeat
+    if args.root is None:
+        args.root = "/tmp/fsd_tiny" if TINY else "/tmp/fsd_flagship"
     os.makedirs(args.root, exist_ok=True)
 
     stages = [(n, f) for n, f in STAGES
@@ -609,12 +649,36 @@ def main():
             m = done_marker(args.root, name)
             if os.path.exists(m):
                 os.remove(m)
-        for sub in ("backup_novel0_neg1", "backup_tune_novel0_neg0",
-                    "results"):
-            if args.reset_from in ("base", "plain", "data"):
-                shutil.rmtree(os.path.join(args.root, sub),
-                              ignore_errors=True)
-        log(f"reset stages from {args.reset_from}: {names[idx:]}")
+        # clear BOTH mangled variants (backup[fix]_, backup_tune[fix]_) so a
+        # reset stage retrains instead of silently resuming a stale run;
+        # backup_plain_novel0 (no _neg mangle) survives base-level resets
+        import glob as _glob
+
+        tune_dirs = _glob.glob(os.path.join(args.root, "backup_tune*_novel0_*"))
+        base_dirs = [d for d in
+                     _glob.glob(os.path.join(args.root, "backup*_novel0_*"))
+                     if d not in tune_dirs]
+        doomed = []
+        if args.reset_from in ("data", "plain", "base"):
+            doomed = base_dirs + tune_dirs + [os.path.join(args.root, "results")]
+        elif args.reset_from in ("few", "tune"):
+            doomed = tune_dirs + [os.path.join(args.root, "results")]
+        for sub in doomed:
+            shutil.rmtree(sub, ignore_errors=True)
+        log(f"reset stages from {args.reset_from}: {names[idx:]}"
+            + (f" (cleared {[os.path.basename(d) for d in doomed]})"
+               if doomed else ""))
+
+    # fail fast on tiny/flagship mode mixing: reusing a root whose data
+    # stage was built in the other mode would train the wrong cfgs and only
+    # assert after a full training run
+    prev_mode = recorded_mode(args.root)
+    if prev_mode is not None and prev_mode != root_mode():
+        raise SystemExit(
+            f"root {args.root} was built in {prev_mode} mode but this "
+            f"invocation is {root_mode()}; use a different --root or "
+            f"--reset-from data"
+        )
 
     for name, fn in stages:
         if args.stage and name != args.stage:
