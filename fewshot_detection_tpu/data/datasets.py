@@ -54,6 +54,65 @@ def _native_pipe():
     return None
 
 
+class DecodedCache:
+    """Decoded-image RAM cache: path -> (H, W, 3) uint8, fill-to-budget.
+
+    The reference containers assumed torch num_workers could hide decode
+    cost (train_meta.py:173-183); on a 1-core host every epoch re-decoding
+    the same images through libjpeg/libpng dominates end-to-end training
+    (PERF.md round 4: 14-17 img/s host vs 347 img/s chip capacity). Most
+    train sets fit in RAM decoded, so pay the decode once and run only the
+    augment tail per epoch. No eviction: entries land until the byte budget
+    (FSD_RAM_CACHE_MB, default 4096) is full, then misses decode from disk
+    as before. Disable with FSD_RAM_CACHE=0.
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self.map: dict[str, np.ndarray] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path: str, native=None) -> np.ndarray | None:
+        """Cached decode; None when over budget (caller decodes from disk)."""
+        arr = self.map.get(path)
+        if arr is not None:
+            self.hits += 1
+            return arr
+        if self.bytes >= self.max_bytes:
+            self.misses += 1
+            return None
+        try:
+            if native is not None:
+                arr = native.decode(path)
+            else:
+                with Image.open(path) as im:
+                    arr = np.asarray(im.convert("RGB"), np.uint8)
+        except Exception:
+            self.misses += 1
+            return None
+        self.map[path] = arr
+        self.bytes += arr.nbytes
+        self.misses += 1
+        return arr
+
+
+_ram_cache: DecodedCache | None = None
+_ram_cache_init = False
+
+
+def ram_cache() -> DecodedCache | None:
+    """Process-wide decoded-image cache (FSD_RAM_CACHE=1, the default)."""
+    global _ram_cache, _ram_cache_init
+    if not _ram_cache_init:
+        _ram_cache_init = True
+        if os.environ.get("FSD_RAM_CACHE", "1") == "1":
+            mb = int(os.environ.get("FSD_RAM_CACHE_MB", "4096"))
+            _ram_cache = DecodedCache(mb * (1 << 20))
+    return _ram_cache
+
+
 def topath(p: str) -> str:
     """Dataset-root remapping hook (the reference hardcoded a cluster
     rewrite, dataset.py:17-18). Configure with FSD_PATH_MAP="old=new[,o=n]".
@@ -216,7 +275,10 @@ class DetectionDataset:
         if self.native is not None:
             arr, flip, dx, dy, sx, sy = self._load_native(imgpath)
         else:
-            img = Image.open(imgpath).convert("RGB")
+            cache = ram_cache()
+            raw = cache.get(imgpath) if cache is not None else None
+            img = (Image.fromarray(raw) if raw is not None
+                   else Image.open(imgpath).convert("RGB"))
             img, flip, dx, dy, sx, sy = augment_image(
                 img, self.shape, self.rng,
                 jitter=JITTER, hue=HUE, saturation=SATURATION,
@@ -239,22 +301,37 @@ class DetectionDataset:
 
     def _load_native(self, imgpath: str):
         """Decode+augment through the C++ pipeline; randomness drawn from
-        the same python stream as the PIL path."""
+        the same python stream as the PIL path. RAM-cache hits skip the
+        decode and run only the raw augment tail."""
+        cache = ram_cache()
+        raw = cache.get(imgpath, self.native) if cache is not None else None
         if not self.augment:
-            arr = self.native.load_plain(imgpath, self.shape[0], self.shape[1])
+            if raw is not None:
+                arr = self.native.resize_raw(raw, self.shape[0], self.shape[1])
+            else:
+                arr = self.native.load_plain(
+                    imgpath, self.shape[0], self.shape[1])
             return arr, 0, 0.0, 0.0, 1.0, 1.0
-        from PIL import Image as _I
-
-        with _I.open(imgpath) as im:
-            ow, oh = im.size
+        if raw is not None:
+            oh, ow = raw.shape[:2]
+        else:
+            ow, oh = self.native.image_size(imgpath)
         p = sample_augment_params(
             ow, oh, self.rng, jitter=JITTER, hue=HUE,
             saturation=SATURATION, exposure=EXPOSURE,
         )
-        arr = self.native.load_augment(
-            imgpath, self.shape[0], self.shape[1],
-            p.pleft, p.pright, p.ptop, p.pbot, p.flip, p.dhue, p.dsat, p.dexp,
-        )
+        if raw is not None:
+            arr = self.native.augment_raw(
+                raw, self.shape[0], self.shape[1],
+                p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                p.dhue, p.dsat, p.dexp,
+            )
+        else:
+            arr = self.native.load_augment(
+                imgpath, self.shape[0], self.shape[1],
+                p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                p.dhue, p.dsat, p.dexp,
+            )
         return arr, p.flip, p.dx, p.dy, p.sx, p.sy
 
     def batches(self, batch_size: int, drop_last: bool = True,
@@ -302,12 +379,17 @@ class DetectionDataset:
         the per-image path (so outputs are identical), then all decodes +
         augments run threaded in C++."""
         s = self.settings
-        paths, metas = [], []
+        cache = ram_cache()
+        paths, metas, raws = [], [], []
         for i in range(start, stop):
             imgpath = self.lines[i]
             self._maybe_rescale(i)
+            raw = cache.get(imgpath, self.native) if cache is not None else None
             if self.augment:
-                ow, oh = self.native.image_size(imgpath)
+                if raw is not None:
+                    oh, ow = raw.shape[:2]
+                else:
+                    ow, oh = self.native.image_size(imgpath)
                 p = sample_augment_params(
                     ow, oh, self.rng, jitter=JITTER, hue=HUE,
                     saturation=SATURATION, exposure=EXPOSURE,
@@ -316,6 +398,7 @@ class DetectionDataset:
                 p = None
             paths.append(imgpath)
             metas.append(p)
+            raws.append(raw)
             self.seen += 1
         if self.augment:
             params = np.asarray(
@@ -324,9 +407,15 @@ class DetectionDataset:
             )
         else:
             params = None
-        batch, fails = self.native.load_batch(
-            paths, self.shape[0], self.shape[1], params
-        )
+        if all(r is not None for r in raws):
+            # every image cached: augment-only batch, zero disk IO
+            batch, fails = self.native.load_batch_raw(
+                raws, self.shape[0], self.shape[1], params
+            )
+        else:
+            batch, fails = self.native.load_batch(
+                paths, self.shape[0], self.shape[1], params
+            )
         if fails:
             raise IOError(f"native batch decode failed for {fails} images")
         labels = []
@@ -447,26 +536,43 @@ class MetaDataset:
         labpath = get_labpath_1c(
             imgpath, self.classes[clsid], self.settings.data
         )
+        cache = ram_cache()
         if self.native is not None:
+            raw = cache.get(imgpath, self.native) if cache is not None else None
             if not self.augment:
-                arr = self.native.load_plain(imgpath, *self.meta_shape)
+                if raw is not None:
+                    arr = self.native.resize_raw(raw, *self.meta_shape)
+                else:
+                    arr = self.native.load_plain(imgpath, *self.meta_shape)
                 boxes = load_label_boxes(labpath, 0, 0, 0, 1.0, 1.0)
                 return arr, boxes
-            ow, oh = self.native.image_size(imgpath)
+            if raw is not None:
+                oh, ow = raw.shape[:2]
+            else:
+                ow, oh = self.native.image_size(imgpath)
             p = sample_augment_params(
                 ow, oh, self.rng, jitter=JITTER, hue=HUE,
                 saturation=SATURATION, exposure=EXPOSURE,
             )
-            arr = self.native.load_augment(
-                imgpath, self.meta_shape[0], self.meta_shape[1],
-                p.pleft, p.pright, p.ptop, p.pbot, p.flip,
-                p.dhue, p.dsat, p.dexp,
-            )
+            if raw is not None:
+                arr = self.native.augment_raw(
+                    raw, self.meta_shape[0], self.meta_shape[1],
+                    p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                    p.dhue, p.dsat, p.dexp,
+                )
+            else:
+                arr = self.native.load_augment(
+                    imgpath, self.meta_shape[0], self.meta_shape[1],
+                    p.pleft, p.pright, p.ptop, p.pbot, p.flip,
+                    p.dhue, p.dsat, p.dexp,
+                )
             boxes = load_label_boxes(
                 labpath, p.flip, p.dx, p.dy, 1.0 / p.sx, 1.0 / p.sy
             )
             return arr, boxes
-        img = Image.open(imgpath).convert("RGB")
+        raw = cache.get(imgpath) if cache is not None else None
+        img = (Image.fromarray(raw) if raw is not None
+               else Image.open(imgpath).convert("RGB"))
         img, flip, dx, dy, sx, sy = augment_image(
             img, self.meta_shape, self.rng,
             jitter=JITTER, hue=HUE, saturation=SATURATION, exposure=EXPOSURE,

@@ -75,6 +75,19 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        lib.fsd_augment_raw.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fsd_load_batch_raw.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -162,5 +175,66 @@ class NativeImagePipe:
         fails = self.lib.fsd_load_batch(
             arr, n, width, height, _fptr(p), augment, _fptr(out),
             self.n_threads,
+        )
+        return out, int(fails)
+
+    def augment_raw(
+        self, rgb: np.ndarray, width: int, height: int,
+        pleft: int, pright: int, ptop: int, pbot: int,
+        flip: int, dhue: float, dsat: float, dexp: float,
+    ) -> np.ndarray:
+        """Augment tail on an already decoded (H,W,3) uint8 array — no IO."""
+        rgb = np.ascontiguousarray(rgb, np.uint8)
+        out = np.empty((height, width, 3), np.float32)
+        rc = self.lib.fsd_augment_raw(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgb.shape[1], rgb.shape[0], width, height,
+            pleft, pright, ptop, pbot, flip, dhue, dsat, dexp, 1, _fptr(out),
+        )
+        if rc != 0:
+            raise ValueError("fsd_augment_raw failed")
+        return out
+
+    def resize_raw(self, rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+        """Plain filtered resize of a decoded (H,W,3) uint8 array."""
+        rgb = np.ascontiguousarray(rgb, np.uint8)
+        out = np.empty((height, width, 3), np.float32)
+        rc = self.lib.fsd_augment_raw(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgb.shape[1], rgb.shape[0], width, height,
+            0, 0, 0, 0, 0, 0.0, 0.0, 0.0, 0, _fptr(out),
+        )
+        if rc != 0:
+            raise ValueError("fsd_augment_raw failed")
+        return out
+
+    def load_batch_raw(
+        self,
+        bufs: list[np.ndarray],
+        width: int,
+        height: int,
+        params: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Batch augment over decoded (H,W,3) uint8 arrays (RAM cache hits).
+        Same params layout/return as load_batch."""
+        n = len(bufs)
+        bufs = [np.ascontiguousarray(b, np.uint8) for b in bufs]
+        out = np.empty((n, height, width, 3), np.float32)
+        ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+            *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for b in bufs]
+        )
+        whs = np.empty((n, 2), np.int32)
+        for i, b in enumerate(bufs):
+            whs[i, 0] = b.shape[1]
+            whs[i, 1] = b.shape[0]
+        if params is None:
+            p = np.zeros((n, 8), np.float32)
+            augment = 0
+        else:
+            p = np.ascontiguousarray(params, np.float32)
+            augment = 1
+        fails = self.lib.fsd_load_batch_raw(
+            ptrs, whs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n,
+            width, height, _fptr(p), augment, _fptr(out), self.n_threads,
         )
         return out, int(fails)

@@ -364,11 +364,11 @@ void to_float(const ImageU8& img, float* out) {
   for (size_t i = 0; i < n; ++i) out[i] = img.rgb[i] * inv;
 }
 
-int load_one(const char* path, int out_w, int out_h, int pleft, int pright,
-             int ptop, int pbot, int flip, float dhue, float dsat, float dexp,
-             int augment, float* out) {
-  ImageU8 img;
-  if (!decode_file(path, &img)) return -1;
+// Shared augment tail: crop-jitter + resize + flip + HSV on an already
+// decoded image (the decode may come from disk or a caller-held RAM cache).
+void process_image(const ImageU8& img, int out_w, int out_h, int pleft,
+                   int pright, int ptop, int pbot, int flip, float dhue,
+                   float dsat, float dexp, int augment, float* out) {
   if (augment) {
     int swidth = img.w - pleft - pright;
     int sheight = img.h - ptop - pbot;
@@ -382,7 +382,27 @@ int load_one(const char* path, int out_w, int out_h, int pleft, int pright,
     ImageU8 r = resize_bilinear(img, out_w, out_h);
     to_float(r, out);
   }
+}
+
+int load_one(const char* path, int out_w, int out_h, int pleft, int pright,
+             int ptop, int pbot, int flip, float dhue, float dsat, float dexp,
+             int augment, float* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return -1;
+  process_image(img, out_w, out_h, pleft, pright, ptop, pbot, flip, dhue,
+                dsat, dexp, augment, out);
   return 0;
+}
+
+// Borrow a caller-owned HWC uint8 RGB buffer as an ImageU8 (copies — the
+// crop/resize passes want an owned vector; ~0.05 ms at 256px, negligible
+// next to the decode this path skips).
+ImageU8 borrow_rgb(const uint8_t* rgb, int w, int h) {
+  ImageU8 img;
+  img.w = w;
+  img.h = h;
+  img.rgb.assign(rgb, rgb + size_t(w) * h * 3);
+  return img;
 }
 
 }  // namespace
@@ -434,6 +454,58 @@ int fsd_load_batch(const char** paths, int n, int out_w, int out_h,
                       int(p[3]), int(p[4]), p[5], p[6], p[7], 1, dst);
       } else {
         rc = load_one(paths[i], out_w, out_h, 0, 0, 0, 0, 0, 0, 0, 0, 0, dst);
+      }
+      if (rc != 0) {
+        std::memset(dst, 0, size_t(out_w) * out_h * 3 * sizeof(float));
+        fails[tid]++;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+    for (auto& t : ts) t.join();
+  }
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+// Augment tail on an already decoded HWC uint8 RGB buffer (the caller's
+// decoded-image RAM cache): crop/resize/flip/HSV only, no disk IO.
+int fsd_augment_raw(const uint8_t* rgb, int w, int h, int out_w, int out_h,
+                    int pleft, int pright, int ptop, int pbot, int flip,
+                    float dhue, float dsat, float dexp, int augment,
+                    float* out) {
+  if (w <= 0 || h <= 0) return -1;
+  ImageU8 img = borrow_rgb(rgb, w, h);
+  process_image(img, out_w, out_h, pleft, pright, ptop, pbot, flip, dhue,
+                dsat, dexp, augment, out);
+  return 0;
+}
+
+// Threaded batch over decoded buffers. bufs: n HWC uint8 pointers; whs:
+// n*2 ints [w,h]; params/augment/out as fsd_load_batch. Returns failures.
+int fsd_load_batch_raw(const uint8_t** bufs, const int* whs, int n,
+                       int out_w, int out_h, const float* params, int augment,
+                       float* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  n_threads = std::min(n_threads, n);
+  std::vector<int> fails(n_threads, 0);
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      float* dst = out + size_t(i) * out_w * out_h * 3;
+      const float* p = params + size_t(i) * 8;
+      int rc;
+      if (augment) {
+        rc = fsd_augment_raw(bufs[i], whs[i * 2], whs[i * 2 + 1], out_w,
+                             out_h, int(p[0]), int(p[1]), int(p[2]),
+                             int(p[3]), int(p[4]), p[5], p[6], p[7], 1, dst);
+      } else {
+        rc = fsd_augment_raw(bufs[i], whs[i * 2], whs[i * 2 + 1], out_w,
+                             out_h, 0, 0, 0, 0, 0, 0, 0, 0, 0, dst);
       }
       if (rc != 0) {
         std::memset(dst, 0, size_t(out_w) * out_h * 3 * sizeof(float));
