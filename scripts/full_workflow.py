@@ -78,6 +78,7 @@ TINY = False
 DK_SRC = "cfg/darknet_dynamic.cfg"
 LN_SRC = "cfg/reweighting_net.cfg"
 DK_BATCH = 32
+SEED = 7  # --seed: synth data + weight init + fewlist sampling
 TUNE_SCALE = 1  # reference metatune.data scale=1; tiny pins 0 (128px cfg
                 # sits below the 320-608 multiscale range, dataset.py:223-245)
 
@@ -258,7 +259,7 @@ def stage_data(root):
 
     d = make_voc_like(
         os.path.join(root, "voc"), n_images=N_TRAIN + N_TEST,
-        size=IMG_SIZE, seed=7, style=STYLE, box_range=(0.15, 0.45),
+        size=IMG_SIZE, seed=SEED, style=STYLE, box_range=(0.15, 0.45),
     )
     img_paths = d["img_paths"]
     train_imgs = img_paths[:N_TRAIN]
@@ -328,10 +329,10 @@ def stage_data(root):
     if not TINY:
         pspec = build_spec(parse_cfg(os.path.join(root, "plain.cfg")))
         weights_io.save_weights(os.path.join(root, "plain_init.weights"),
-                                [pspec], [init_params(pspec, 7)], seen=0)
+                                [pspec], [init_params(pspec, SEED)], seen=0)
     mspec = MetaSpec(build_spec(parse_cfg(os.path.join(root, "dk.cfg"))),
                      build_spec(parse_cfg(os.path.join(REPO, LN_SRC))))
-    mp = init_meta_params(mspec, 7)
+    mp = init_meta_params(mspec, SEED)
     weights_io.save_weights(os.path.join(root, "meta_init.weights"),
                             [mspec.darknet, mspec.learnet],
                             [mp["darknet"], mp["learnet"]], seen=0)
@@ -389,7 +390,7 @@ def stage_base(root):
 
 
 def _fewlists_full_budget(sample_fn, classes, shot,
-                          seeds=(2018, 7, 99, 1234, 4242),
+                          seeds=None,
                           class_pools=None):
     """Run a k-shot list sampler until every class reaches at least `shot`
     boxes (counting boxes, not images). A short-filled class would make the
@@ -400,6 +401,10 @@ def _fewlists_full_budget(sample_fn, classes, shot,
     box-budgeted draw leaves a class short (small synthetic pools), top it
     up from that class's own list; other classes may overshoot their k-shot
     budget, which build_fewset tolerates (only >= matters)."""
+    if seeds is None:
+        # key the retry chain on the workflow --seed so seed sweeps draw
+        # genuinely different k-shot lists
+        seeds = (2018 + SEED, SEED, 99 + SEED, 1234 + SEED, 4242 + SEED)
     import numpy as np
 
     from fewshot_detection_tpu.data.datasets import get_labpath
@@ -578,7 +583,7 @@ STAGES = [
 def main():
     global STYLE, N_TRAIN, N_TEST, IMG_SIZE
     global PLAIN_BATCHES, BASE_BATCHES, TUNE_MAX_EPOCH, TUNE_REPEAT
-    global TINY, DK_SRC, LN_SRC, DK_BATCH, DK_STEPS, TUNE_SCALE
+    global TINY, DK_SRC, LN_SRC, DK_BATCH, DK_STEPS, TUNE_SCALE, SEED
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=None,
                     help="workflow root (default: /tmp/fsd_flagship, or "
@@ -599,6 +604,9 @@ def main():
     ap.add_argument("--base-batches", type=int, default=None)
     ap.add_argument("--tune-max-epoch", type=int, default=None)
     ap.add_argument("--tune-repeat", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="synthetic-data/init/fewlist seed (default 7); "
+                    "run several seeds in separate roots for mean+-std")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny cfgs (128px, cfg/tiny_*) at the scale where "
                     "compressed-schedule streaming learning is proven — "
@@ -633,8 +641,12 @@ def main():
         TUNE_MAX_EPOCH = args.tune_max_epoch
     if args.tune_repeat:
         TUNE_REPEAT = args.tune_repeat
+    if args.seed is not None:
+        SEED = args.seed
     if args.root is None:
         args.root = "/tmp/fsd_tiny" if TINY else "/tmp/fsd_flagship"
+        if args.seed is not None:
+            args.root += f"_s{SEED}"
     os.makedirs(args.root, exist_ok=True)
 
     stages = [(n, f) for n, f in STAGES
