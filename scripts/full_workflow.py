@@ -79,6 +79,9 @@ DK_SRC = "cfg/darknet_dynamic.cfg"
 LN_SRC = "cfg/reweighting_net.cfg"
 DK_BATCH = 32
 SEED = 7  # --seed: synth data + weight init + fewlist sampling
+NOVELID = 0  # --novelid: which of data/voc_novels.txt's 5 splits is novel
+             # (reference cfg.py:103-118); masks base training, keys backup
+             # dirs and the scorer's base/novel means
 TUNE_SCALE = 1  # reference metatune.data scale=1; tiny pins 0 (128px cfg
                 # sits below the 320-608 multiscale range, dataset.py:223-245)
 
@@ -112,17 +115,15 @@ def base_backup_dir(root):
     """Backup dir the base stage's settings mangle resolves to: base.data
     pins scale=0 in tiny mode, which inserts 'fix' (settings.py backup
     rules / reference cfg.py:130-147)."""
-    return os.path.join(
-        root, "backupfix_novel0_neg1" if TINY else "backup_novel0_neg1")
+    stem = "backupfix" if TINY else "backup"
+    return os.path.join(root, f"{stem}_novel{NOVELID}_neg1")
 
 
 def tune_backup_dir(root):
     """Backup dir the tune stage resolves to: tune.data carries
     scale={TUNE_SCALE}, so the 'fix' mangle follows TUNE_SCALE, not TINY."""
-    return os.path.join(
-        root,
-        "backup_tunefix_novel0_neg0" if TUNE_SCALE == 0
-        else "backup_tune_novel0_neg0")
+    stem = "backup_tunefix" if TUNE_SCALE == 0 else "backup_tune"
+    return os.path.join(root, f"{stem}_novel{NOVELID}_neg0")
 
 
 def root_mode():
@@ -297,7 +298,7 @@ def stage_data(root):
     with open(plain_data, "w") as f:
         f.write(
             "metayolo=0\ndata=voc\nneg=0\nrand=0\n"
-            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            f"novel={REPO}/data/voc_novels.txt\nnovelid={NOVELID}\n"
             f"train={train_list}\nvalid={test_list}\n"
             f"names={REPO}/data/voc.names\nbackup={root}/backup_plain\ngpus=0\n"
         )
@@ -307,7 +308,7 @@ def stage_data(root):
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=1\nrand=0\n"
             "tuning=0\nrepeat=1\ndynamic=0\n"
             + ("scale=0\n" if TINY else "")
-            + f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            + f"novel={REPO}/data/voc_novels.txt\nnovelid={NOVELID}\n"
             f"meta={traindict}\ntrain={train_list}\nvalid={test_list}\n"
             f"backup={root}/backup\ngpus=0\n"
         )
@@ -337,7 +338,8 @@ def stage_data(root):
                             [mspec.darknet, mspec.learnet],
                             [mp["darknet"], mp["learnet"]], seen=0)
     mark_done(root, "data",
-              {"train": N_TRAIN, "test": N_TEST, "mode": root_mode()})
+              {"train": N_TRAIN, "test": N_TEST, "mode": root_mode(),
+               "novelid": NOVELID, "seed": SEED})
     log("data stage done")
 
 
@@ -348,10 +350,10 @@ def stage_plain(root):
          os.path.join(root, "plain.data"), os.path.join(root, "plain.cfg"),
          os.path.join(root, "plain_init.weights")],
         timeout_s=90 * 60,
-        resume_backup=os.path.join(root, "backup_plain_novel0"),
+        resume_backup=os.path.join(root, f"backup_plain_novel{NOVELID}"),
         resume_argpos=4,
     )
-    ckpt = latest_weights(os.path.join(root, "backup_plain_novel0"))
+    ckpt = latest_weights(os.path.join(root, f"backup_plain_novel{NOVELID}"))
     assert ok and ckpt, "plain training failed"
     mark_done(root, "plain", {"ckpt": ckpt})
 
@@ -360,7 +362,7 @@ def stage_part(root):
     _force_cpu()
     from partial import partial as partial_fn
 
-    ckpt = latest_weights(os.path.join(root, "backup_plain_novel0"))
+    ckpt = latest_weights(os.path.join(root, f"backup_plain_novel{NOVELID}"))
     out = os.path.join(root, "conv23.weights")
     partial_fn(os.path.join(root, "plain.cfg"), ckpt, out, 23)
     assert os.path.exists(out)
@@ -486,7 +488,7 @@ def stage_few(root):
             "metayolo=1\nmetain_type=2\ndata=voc\nneg=0\nrand=0\n"
             f"tuning=1\nmax_epoch={TUNE_MAX_EPOCH}\nrepeat={TUNE_REPEAT}\n"
             f"dynamic=1\nscale={TUNE_SCALE}\n"
-            f"novel={REPO}/data/voc_novels.txt\nnovelid=0\n"
+            f"novel={REPO}/data/voc_novels.txt\nnovelid={NOVELID}\n"
             f"meta={fewdict}\ntrain={root}/voc/train_split.txt\n"
             f"valid={root}/voc/test_split.txt\nbackup={root}/backup_tune\ngpus=0\n"
         )
@@ -535,7 +537,7 @@ result = do_python_eval(
     prefix + "/comp4_det_test_",
     devkit_path=os.path.join({root!r}, "voc", "VOCdevkit"),
     novel=True, novel_file=os.path.join({REPO!r}, "data/voc_novels.txt"),
-    novelid="0")
+    novelid=str({NOVELID!r}))
 print("EVALJSON " + json.dumps({{
     "stage": {name!r},
     "mean_ap": round(float(result["mean"]), 4),
@@ -584,6 +586,7 @@ def main():
     global STYLE, N_TRAIN, N_TEST, IMG_SIZE
     global PLAIN_BATCHES, BASE_BATCHES, TUNE_MAX_EPOCH, TUNE_REPEAT
     global TINY, DK_SRC, LN_SRC, DK_BATCH, DK_STEPS, TUNE_SCALE, SEED
+    global NOVELID
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=None,
                     help="workflow root (default: /tmp/fsd_flagship, or "
@@ -604,6 +607,10 @@ def main():
     ap.add_argument("--base-batches", type=int, default=None)
     ap.add_argument("--tune-max-epoch", type=int, default=None)
     ap.add_argument("--tune-repeat", type=int, default=None)
+    ap.add_argument("--novelid", type=int, default=None,
+                    help="novel split 0-4 from data/voc_novels.txt "
+                    "(default 0); changes which classes are masked during "
+                    "base training and scored as novel")
     ap.add_argument("--seed", type=int, default=None,
                     help="synthetic-data/init/fewlist seed (default 7); "
                     "run several seeds in separate roots for mean+-std")
@@ -643,10 +650,14 @@ def main():
         TUNE_REPEAT = args.tune_repeat
     if args.seed is not None:
         SEED = args.seed
+    if args.novelid is not None:
+        NOVELID = args.novelid
     if args.root is None:
         args.root = "/tmp/fsd_tiny" if TINY else "/tmp/fsd_flagship"
         if args.seed is not None:
             args.root += f"_s{SEED}"
+        if NOVELID != 0:
+            args.root += f"_n{NOVELID}"
     os.makedirs(args.root, exist_ok=True)
 
     stages = [(n, f) for n, f in STAGES
@@ -666,9 +677,9 @@ def main():
         # backup_plain_novel0 (no _neg mangle) survives base-level resets
         import glob as _glob
 
-        tune_dirs = _glob.glob(os.path.join(args.root, "backup_tune*_novel0_*"))
+        tune_dirs = _glob.glob(os.path.join(args.root, "backup_tune*_novel*_*"))
         base_dirs = [d for d in
-                     _glob.glob(os.path.join(args.root, "backup*_novel0_*"))
+                     _glob.glob(os.path.join(args.root, "backup*_novel*_*"))
                      if d not in tune_dirs]
         doomed = []
         if args.reset_from in ("data", "plain", "base"):
@@ -691,6 +702,16 @@ def main():
             f"invocation is {root_mode()}; use a different --root or "
             f"--reset-from data"
         )
+    data_m = done_marker(args.root, "data")
+    if os.path.exists(data_m):
+        prev = json.load(open(data_m))
+        if prev.get("novelid", 0) != NOVELID:
+            raise SystemExit(
+                f"root {args.root} was built with novelid "
+                f"{prev.get('novelid', 0)} but this invocation is "
+                f"{NOVELID}; base.data's class mask would be stale — use a "
+                f"different --root or --reset-from data"
+            )
 
     for name, fn in stages:
         if args.stage and name != args.stage:
