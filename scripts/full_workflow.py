@@ -185,6 +185,89 @@ def latest_weights(backupdir):
     return os.path.join(backupdir, ws[-1]) if ws else None
 
 
+ARTIFACTS = os.path.join(REPO, "artifacts")
+
+
+def artifact_dir():
+    return os.path.join(ARTIFACTS, f"flagship_base_novel{NOVELID}")
+
+
+def snapshot_base_artifact(root):
+    """Persist the newest flagship base checkpoint into the repo's tracked
+    artifacts/ dir (gzipped fp32 .weights + manifest). /tmp is wiped between
+    rounds but the repo survives, so the 80,200x64-sample reference base
+    schedule (cfg/darknet_dynamic.cfg:20) can accumulate across rounds
+    instead of restarting from sample 0 every round."""
+    if TINY:
+        return None
+    bdir = base_backup_dir(root)
+    ck = latest_weights(bdir)
+    if not ck:
+        return None
+    import gzip
+    import shutil
+
+    adir = artifact_dir()
+    os.makedirs(adir, exist_ok=True)
+    dst = os.path.join(adir, "base_latest.weights.gz")
+    with open(ck, "rb") as fi, gzip.open(dst + ".tmp", "wb",
+                                         compresslevel=4) as fo:
+        shutil.copyfileobj(fi, fo)
+    os.replace(dst + ".tmp", dst)
+    import numpy as np
+
+    # header: 4 x int32, [3] is the seen sample counter (weights_io.py:4)
+    seen = int(np.fromfile(ck, dtype=np.int32, count=4)[3])
+    manifest = {
+        "src_name": os.path.basename(ck),
+        "seen": seen,
+        "seed": SEED,
+        "style": STYLE,
+        "n_train": N_TRAIN,
+        "dk_src": DK_SRC,
+        "dk_batch": DK_BATCH,
+        "saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(os.path.join(adir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    log(f"artifact snapshot: {dst} (seen={manifest['seen']})")
+    return dst
+
+
+def restore_base_artifact(root):
+    """Seed an empty flagship base backup dir from the repo artifact so the
+    run resumes the accumulated schedule. Live checkpoints always win; a
+    manifest that does not match the current data recipe is skipped."""
+    if TINY:
+        return None
+    bdir = base_backup_dir(root)
+    if latest_weights(bdir):
+        return None
+    adir = artifact_dir()
+    mpath = os.path.join(adir, "manifest.json")
+    wpath = os.path.join(adir, "base_latest.weights.gz")
+    if not (os.path.exists(mpath) and os.path.exists(wpath)):
+        return None
+    manifest = json.load(open(mpath))
+    current = {"seed": SEED, "style": STYLE, "n_train": N_TRAIN,
+               "dk_src": DK_SRC, "dk_batch": DK_BATCH}
+    stale = {k: (manifest.get(k), v) for k, v in current.items()
+             if manifest.get(k) != v}
+    if stale:
+        log(f"artifact skipped (recipe mismatch: {stale})")
+        return None
+    import gzip
+    import shutil
+
+    os.makedirs(bdir, exist_ok=True)
+    dst = os.path.join(bdir, manifest.get("src_name", "000000.weights"))
+    with gzip.open(wpath, "rb") as fi, open(dst + ".tmp", "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    os.replace(dst + ".tmp", dst)
+    log(f"artifact restored: {dst} (seen={manifest.get('seen')})")
+    return dst
+
+
 def run_cli(root, name, argv, timeout_s, retries=3, resume_backup=None,
             resume_argpos=None):
     """Run a CLI subprocess with the TPU env; on failure (tunnel crash),
@@ -375,6 +458,9 @@ def stage_base(root):
     init_w = os.path.join(root,
                           "meta_init.weights" if TINY else "conv23.weights")
     bdir = base_backup_dir(root)
+    # cross-round schedule accumulation: seed an empty backup dir from the
+    # repo-tracked artifact (run_cli's resume then picks it up)
+    restore_base_artifact(root)
     ok = run_cli(
         root, "base",
         [sys.executable, os.path.join(REPO, "train_meta.py"),
@@ -388,6 +474,7 @@ def stage_base(root):
     assert ok and ckpt, "base meta training failed"
     summary = cls_loss_summary(os.path.join(root, "logs", "base.log"), n_cls=15)
     mark_done(root, "base", {"ckpt": ckpt, "cls": summary})
+    snapshot_base_artifact(root)
     log(f"base stage done: {summary}")
 
 
@@ -607,6 +694,10 @@ def main():
     ap.add_argument("--base-batches", type=int, default=None)
     ap.add_argument("--tune-max-epoch", type=int, default=None)
     ap.add_argument("--tune-repeat", type=int, default=None)
+    ap.add_argument("--snapshot-artifact", action="store_true",
+                    help="snapshot the newest flagship base checkpoint into "
+                    "the repo artifacts/ dir and exit (safe to run while a "
+                    "training subprocess holds the tunnel)")
     ap.add_argument("--novelid", type=int, default=None,
                     help="novel split 0-4 from data/voc_novels.txt "
                     "(default 0); changes which classes are masked during "
@@ -712,6 +803,10 @@ def main():
                 f"{NOVELID}; base.data's class mask would be stale — use a "
                 f"different --root or --reset-from data"
             )
+
+    if args.snapshot_artifact:
+        snapshot_base_artifact(args.root)
+        return
 
     for name, fn in stages:
         if args.stage and name != args.stage:

@@ -44,6 +44,53 @@ def test_tune_dir_matches_settings_mangle(monkeypatch, tmp_path):
     assert s.backup == wf.tune_backup_dir(str(tmp_path))
 
 
+def test_artifact_snapshot_restore_roundtrip(tmp_path, monkeypatch):
+    """Flagship base checkpoints must survive rounds via the repo artifacts
+    dir: snapshot gzips the newest full checkpoint + manifest; restore seeds
+    an EMPTY backup dir byte-identically, skips when live checkpoints exist
+    or the data recipe changed."""
+    import numpy as np
+
+    monkeypatch.setattr(wf, "TINY", False)
+    monkeypatch.setattr(wf, "ARTIFACTS", str(tmp_path / "artifacts"))
+    root = str(tmp_path / "root")
+    bdir = wf.base_backup_dir(root)
+    os.makedirs(bdir)
+    header = np.array([0, 2, 0, 12345], np.int32)
+    payload = np.arange(100, dtype=np.float32)
+    with open(os.path.join(bdir, "000040.weights"), "wb") as f:
+        header.tofile(f)
+        payload.tofile(f)
+
+    dst = wf.snapshot_base_artifact(root)
+    assert dst and os.path.exists(dst)
+    manifest = json.load(open(os.path.join(wf.artifact_dir(),
+                                           "manifest.json")))
+    assert manifest["seen"] == 12345
+    assert manifest["src_name"] == "000040.weights"
+
+    # restore into a fresh root
+    root2 = str(tmp_path / "root2")
+    os.makedirs(root2)
+    got = wf.restore_base_artifact(root2)
+    assert got and got.endswith("000040.weights")
+    assert open(got, "rb").read() == open(
+        os.path.join(bdir, "000040.weights"), "rb").read()
+
+    # live checkpoints win: restoring again is a no-op
+    assert wf.restore_base_artifact(root2) is None
+
+    # recipe mismatch skips
+    root3 = str(tmp_path / "root3")
+    os.makedirs(root3)
+    monkeypatch.setattr(wf, "SEED", wf.SEED + 1)
+    assert wf.restore_base_artifact(root3) is None
+
+    # tiny mode never snapshots or restores
+    monkeypatch.setattr(wf, "TINY", True)
+    assert wf.snapshot_base_artifact(root) is None
+
+
 def test_recorded_mode_roundtrip(tmp_path, monkeypatch):
     root = str(tmp_path)
     assert wf.recorded_mode(root) is None
