@@ -204,7 +204,7 @@ void flip_horizontal(ImageU8* img) {
 // area-style averaging rather than naive sampling.
 struct FilterTaps {
   std::vector<int> bounds;      // (xmin, size) per output pixel
-  std::vector<double> coeffs;   // ksize per output pixel
+  std::vector<float> coeffs;    // ksize per output pixel
   int ksize = 0;
 };
 
@@ -215,12 +215,12 @@ FilterTaps make_taps(int in_size, int out_size) {
   double support = 1.0 * filterscale;  // triangle support = 1
   t.ksize = int(std::ceil(support)) * 2 + 1;
   t.bounds.resize(size_t(out_size) * 2);
-  t.coeffs.assign(size_t(out_size) * t.ksize, 0.0);
+  t.coeffs.assign(size_t(out_size) * t.ksize, 0.0f);
+  std::vector<double> k(t.ksize);
   for (int xx = 0; xx < out_size; ++xx) {
     double center = (xx + 0.5) * scale;
     int xmin = std::max(int(center - support + 0.5), 0);
     int xmax = std::min(int(center + support + 0.5), in_size);
-    double* k = &t.coeffs[size_t(xx) * t.ksize];
     double ww = 0.0;
     for (int x = xmin; x < xmax; ++x) {
       double arg = std::abs((x + 0.5 - center) / filterscale);
@@ -228,8 +228,9 @@ FilterTaps make_taps(int in_size, int out_size) {
       k[x - xmin] = w;
       ww += w;
     }
-    if (ww != 0.0)
-      for (int x = 0; x < xmax - xmin; ++x) k[x] /= ww;
+    float* kf = &t.coeffs[size_t(xx) * t.ksize];
+    for (int x = 0; x < xmax - xmin; ++x)
+      kf[x] = float(ww != 0.0 ? k[x] / ww : k[x]);
     t.bounds[xx * 2] = xmin;
     t.bounds[xx * 2 + 1] = xmax - xmin;
   }
@@ -241,24 +242,27 @@ ImageU8 resize_bilinear(const ImageU8& src, int ow, int oh) {
   FilterTaps hx = make_taps(std::max(src.w, 1), ow);
   FilterTaps vy = make_taps(std::max(src.h, 1), oh);
 
-  // horizontal pass into float
+  // horizontal pass into float (accumulators are float: the triangle
+  // kernel has <= ~2*scale+1 taps of values <= 255, well inside float's
+  // 24-bit mantissa; only exact-.5 rounding ties could shift by one count,
+  // and the native path is documented tolerance-parity, not bit-parity)
   std::vector<float> tmp(size_t(src.h) * ow * 3);
   for (int y = 0; y < src.h; ++y) {
     const uint8_t* srow = src.rgb.data() + size_t(y) * src.w * 3;
     float* drow = tmp.data() + size_t(y) * ow * 3;
     for (int xx = 0; xx < ow; ++xx) {
       int xmin = hx.bounds[xx * 2], sz = hx.bounds[xx * 2 + 1];
-      const double* k = &hx.coeffs[size_t(xx) * hx.ksize];
-      double acc[3] = {0, 0, 0};
+      const float* k = &hx.coeffs[size_t(xx) * hx.ksize];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
       for (int i = 0; i < sz; ++i) {
         const uint8_t* p = srow + size_t(xmin + i) * 3;
-        acc[0] += k[i] * p[0];
-        acc[1] += k[i] * p[1];
-        acc[2] += k[i] * p[2];
+        acc0 += k[i] * p[0];
+        acc1 += k[i] * p[1];
+        acc2 += k[i] * p[2];
       }
-      drow[xx * 3] = float(acc[0]);
-      drow[xx * 3 + 1] = float(acc[1]);
-      drow[xx * 3 + 2] = float(acc[2]);
+      drow[xx * 3] = acc0;
+      drow[xx * 3 + 1] = acc1;
+      drow[xx * 3 + 2] = acc2;
     }
   }
   // vertical pass with rounding back to uint8
@@ -266,16 +270,21 @@ ImageU8 resize_bilinear(const ImageU8& src, int ow, int oh) {
   out.w = ow;
   out.h = oh;
   out.rgb.resize(size_t(ow) * oh * 3);
+  std::vector<float> vacc(size_t(ow) * 3);
   for (int yy = 0; yy < oh; ++yy) {
     int ymin = vy.bounds[yy * 2], sz = vy.bounds[yy * 2 + 1];
-    const double* k = &vy.coeffs[size_t(yy) * vy.ksize];
+    const float* k = &vy.coeffs[size_t(yy) * vy.ksize];
     uint8_t* drow = out.rgb.data() + size_t(yy) * ow * 3;
-    for (int xx = 0; xx < ow * 3; ++xx) {
-      double acc = 0;
-      for (int i = 0; i < sz; ++i)
-        acc += k[i] * tmp[size_t(ymin + i) * ow * 3 + xx];
-      drow[xx] = uint8_t(std::clamp(int(std::lround(acc)), 0, 255));
+    // row-major accumulation: stream each tmp row once (stride-1,
+    // vectorizable) instead of striding down the column per output pixel
+    std::fill(vacc.begin(), vacc.end(), 0.0f);
+    for (int i = 0; i < sz; ++i) {
+      const float* trow = tmp.data() + size_t(ymin + i) * ow * 3;
+      float kv = k[i];
+      for (int xx = 0; xx < ow * 3; ++xx) vacc[xx] += kv * trow[xx];
     }
+    for (int xx = 0; xx < ow * 3; ++xx)
+      drow[xx] = uint8_t(std::clamp(int(std::lround(vacc[xx])), 0, 255));
   }
   return out;
 }
@@ -293,7 +302,10 @@ inline uint8_t lut_clamp(double v) {
 
 void rgb2hsv_u8(uint8_t r, uint8_t g, uint8_t b, uint8_t* h, uint8_t* s,
                 uint8_t* v) {
-  // PIL's convert("HSV") math (libImaging ImagingConvert rgb2hsv)
+  // PIL's convert("HSV") math (libImaging ImagingConvert rgb2hsv). float
+  // arithmetic: exact quotients are >= 1/(6*255) away from uint8 rounding
+  // boundaries, far outside float's error at this scale, so results match
+  // the double version (native path is tolerance-parity with PIL anyway).
   uint8_t maxc = std::max({r, g, b});
   uint8_t minc = std::min({r, g, b});
   *v = maxc;
@@ -302,18 +314,19 @@ void rgb2hsv_u8(uint8_t r, uint8_t g, uint8_t b, uint8_t* h, uint8_t* s,
     *s = 0;
     return;
   }
-  double delta = maxc - minc;
-  *s = uint8_t(255.0 * delta / maxc);
-  double hh;
+  float delta = float(maxc - minc);
+  float inv_delta = 1.0f / delta;
+  *s = uint8_t(255.0f * delta / maxc);
+  float hh;
   if (r == maxc)
-    hh = (double(g) - b) / delta;
+    hh = (float(g) - b) * inv_delta;
   else if (g == maxc)
-    hh = 2.0 + (double(b) - r) / delta;
+    hh = 2.0f + (float(b) - r) * inv_delta;
   else
-    hh = 4.0 + (double(r) - g) / delta;
-  hh = hh / 6.0;
-  if (hh < 0) hh += 1.0;
-  *h = uint8_t(hh * 255.0);
+    hh = 4.0f + (float(r) - g) * inv_delta;
+  hh = hh * (1.0f / 6.0f);
+  if (hh < 0) hh += 1.0f;
+  *h = uint8_t(hh * 255.0f);
 }
 
 void hsv2rgb_u8(uint8_t h, uint8_t s, uint8_t v, uint8_t* r, uint8_t* g,
@@ -322,12 +335,13 @@ void hsv2rgb_u8(uint8_t h, uint8_t s, uint8_t v, uint8_t* r, uint8_t* g,
     *r = *g = *b = v;
     return;
   }
-  double hh = double(h) / 255.0 * 6.0;
+  float hh = float(h) * (6.0f / 255.0f);
   int i = int(hh) % 6;
-  double f = hh - int(hh);
-  uint8_t p = uint8_t(v * (1.0 - s / 255.0));
-  uint8_t q = uint8_t(v * (1.0 - s / 255.0 * f));
-  uint8_t t = uint8_t(v * (1.0 - s / 255.0 * (1.0 - f)));
+  float f = hh - int(hh);
+  float sf = float(s) * (1.0f / 255.0f);
+  uint8_t p = uint8_t(v * (1.0f - sf));
+  uint8_t q = uint8_t(v * (1.0f - sf * f));
+  uint8_t t = uint8_t(v * (1.0f - sf * (1.0f - f)));
   switch (i) {
     case 0: *r = v; *g = t; *b = p; break;
     case 1: *r = q; *g = v; *b = p; break;
