@@ -35,9 +35,10 @@ if str(REPO_ROOT) not in sys.path:
 # ---------------------------------------------------------------------------
 # Two test tiers. The multi-minute equivalence soaks (R=2 gradient-sum
 # exactness, 8-dev sharded full-size steps, multiscale mesh switches) are
-# marked @pytest.mark.slow and SKIPPED by default so the quick tier stays
-# under ~15 min on this 1-core host; run the full suite with --runslow or
-# FSD_SLOW_TESTS=1.
+# marked @pytest.mark.slow and SKIPPED by default; the quick tier takes
+# ~35 min on this 1-core host when idle (longer when a TPU workflow's host
+# decode shares the core — timing note kept in ONE place: CLAUDE.md). Run
+# the full suite with --runslow or FSD_SLOW_TESTS=1 (~11 extra min).
 # ---------------------------------------------------------------------------
 
 
