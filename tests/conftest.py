@@ -36,9 +36,9 @@ if str(REPO_ROOT) not in sys.path:
 # Two test tiers. The multi-minute equivalence soaks (R=2 gradient-sum
 # exactness, 8-dev sharded full-size steps, multiscale mesh switches) are
 # marked @pytest.mark.slow and SKIPPED by default; the quick tier takes
-# ~35 min on this 1-core host when idle (longer when a TPU workflow's host
-# decode shares the core — timing note kept in ONE place: CLAUDE.md). Run
-# the full suite with --runslow or FSD_SLOW_TESTS=1 (~11 extra min).
+# ~18 min on this 1-core host (round-5 measurement — timing note kept in
+# ONE place: CLAUDE.md). Run the full suite with --runslow or
+# FSD_SLOW_TESTS=1 (~11 extra min).
 # ---------------------------------------------------------------------------
 
 
