@@ -260,6 +260,21 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                     num_workers=n_workers, seed=rng.randrange(2**31),
                 )
 
+            # FSD_OVERLAP_METRICS=1: fetch step i's loss scalars only AFTER
+            # step i+1 is dispatched, so the blocking metrics round-trip
+            # (700-1400 ms through the remote tunnel at b32/416) overlaps
+            # the next step's host prep + H2D instead of serializing the
+            # pipeline. Loss lines print one step late with their own seen
+            # counter; checkpoint cadence and values are unchanged.
+            overlap = os.environ.get("FSD_OVERLAP_METRICS", "0") == "1"
+            pending = None
+
+            def _flush(p):
+                with timer.phase("sync"):
+                    line = format_loss_line(p[0], p[1])
+                print(line)
+                _free_batch(p[2])
+
             try:
                 with trace():  # jax.profiler trace when FSD_PROFILE_DIR set
                     it = iter(mp_loader) if mp_loader else prefetch(episodes())
@@ -287,10 +302,18 @@ def main(datacfg, darknetcfg_path, learnetcfg_path, weightfile):
                         # the metrics fetch is where the host actually BLOCKS
                         # on the async-dispatched step — time it as its own
                         # phase ('step' above measures trace+dispatch only)
-                        with timer.phase("sync"):
-                            line = format_loss_line(seen, metrics)
-                        print(line)
-                        _free_batch(batch)
+                        if overlap:
+                            if pending is not None:
+                                _flush(pending)
+                            pending = (seen, metrics, batch)
+                        else:
+                            with timer.phase("sync"):
+                                line = format_loss_line(seen, metrics)
+                            print(line)
+                            _free_batch(batch)
+                    if pending is not None:
+                        _flush(pending)
+                        pending = None
             finally:
                 # a tunnel crash mid-epoch must not leave FSD_WORKERS
                 # spawned processes decoding batches until interpreter exit

@@ -104,6 +104,14 @@ TPU_ENV = {
     # ship image tensors as uint8, decode on device: halves H2D bytes vs
     # bf16 and halves the tunnel transport's per-transfer host-buffer leak
     "FSD_INPUT_U8": "1",
+    # with the decode cache the loader is no longer the bound (data phase
+    # ~25 ms/it); the blocking per-step metrics round-trip is — fetch step
+    # i's scalars only after step i+1 is dispatched (pure pipelining,
+    # tests/test_overlap_metrics.py pins line + checkpoint equality)
+    "FSD_OVERLAP_METRICS": "1",
+    # remat headroom for reference-batch (b64) 416px episodes; the chip is
+    # transfer-starved through the tunnel, so the recompute is free
+    "FSD_REMAT": "1",
 }
 
 
