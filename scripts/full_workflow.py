@@ -200,11 +200,29 @@ def artifact_dir():
     return os.path.join(ARTIFACTS, f"flagship_base_novel{NOVELID}")
 
 
+def _f32_to_bf16_bytes(buf):
+    """fp32 payload -> round-to-nearest-even bf16 (raw uint16 stream).
+    Halves the tracked artifact; the lost mantissa bits are below the bf16
+    compute noise the weights already train in."""
+    import numpy as np
+
+    u = np.frombuffer(buf, dtype=np.uint32)
+    rounded = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
+    return rounded.astype(np.uint16).tobytes()
+
+
+def _bf16_bytes_to_f32(buf):
+    import numpy as np
+
+    u = np.frombuffer(buf, dtype=np.uint16).astype(np.uint32) << 16
+    return u.tobytes()
+
+
 def snapshot_base_artifact(root):
     """Persist the newest flagship base checkpoint into the repo's tracked
-    artifacts/ dir (gzipped fp32 .weights + manifest). /tmp is wiped between
-    rounds but the repo survives, so the 80,200x64-sample reference base
-    schedule (cfg/darknet_dynamic.cfg:20) can accumulate across rounds
+    artifacts/ dir (gzipped bf16-cast .weights + manifest). /tmp is wiped
+    between rounds but the repo survives, so the 80,200x64-sample reference
+    base schedule (cfg/darknet_dynamic.cfg:20) can accumulate across rounds
     instead of restarting from sample 0 every round."""
     if TINY:
         return None
@@ -213,22 +231,25 @@ def snapshot_base_artifact(root):
     if not ck:
         return None
     import gzip
-    import shutil
 
     adir = artifact_dir()
     os.makedirs(adir, exist_ok=True)
-    dst = os.path.join(adir, "base_latest.weights.gz")
-    with open(ck, "rb") as fi, gzip.open(dst + ".tmp", "wb",
-                                         compresslevel=4) as fo:
-        shutil.copyfileobj(fi, fo)
+    dst = os.path.join(adir, "base_latest.weights.bf16.gz")
+    with open(ck, "rb") as fi:
+        blob = fi.read()
+    # .weights layout: 4 x int32 header ([3] = seen counter,
+    # weights_io.py:4), then a raw fp32 field stream
+    with gzip.open(dst + ".tmp", "wb", compresslevel=4) as fo:
+        fo.write(blob[:16])
+        fo.write(_f32_to_bf16_bytes(blob[16:]))
     os.replace(dst + ".tmp", dst)
     import numpy as np
 
-    # header: 4 x int32, [3] is the seen sample counter (weights_io.py:4)
-    seen = int(np.fromfile(ck, dtype=np.int32, count=4)[3])
+    seen = int(np.frombuffer(blob[:16], dtype=np.int32)[3])
     manifest = {
         "src_name": os.path.basename(ck),
         "seen": seen,
+        "codec": "bf16",
         "seed": SEED,
         "style": STYLE,
         "n_train": N_TRAIN,
@@ -253,24 +274,33 @@ def restore_base_artifact(root):
         return None
     adir = artifact_dir()
     mpath = os.path.join(adir, "manifest.json")
-    wpath = os.path.join(adir, "base_latest.weights.gz")
-    if not (os.path.exists(mpath) and os.path.exists(wpath)):
+    if not os.path.exists(mpath):
         return None
     manifest = json.load(open(mpath))
+    wpath = os.path.join(
+        adir, "base_latest.weights.bf16.gz"
+        if manifest.get("codec") == "bf16" else "base_latest.weights.gz")
+    if not os.path.exists(wpath):
+        return None
+    # dk_batch deliberately not matched: the sample-keyed seen counter makes
+    # the schedule batch-size-portable (resume derives epochs from seen)
     current = {"seed": SEED, "style": STYLE, "n_train": N_TRAIN,
-               "dk_src": DK_SRC, "dk_batch": DK_BATCH}
+               "dk_src": DK_SRC}
     stale = {k: (manifest.get(k), v) for k, v in current.items()
              if manifest.get(k) != v}
     if stale:
         log(f"artifact skipped (recipe mismatch: {stale})")
         return None
     import gzip
-    import shutil
 
     os.makedirs(bdir, exist_ok=True)
     dst = os.path.join(bdir, manifest.get("src_name", "000000.weights"))
-    with gzip.open(wpath, "rb") as fi, open(dst + ".tmp", "wb") as fo:
-        shutil.copyfileobj(fi, fo)
+    with gzip.open(wpath, "rb") as fi:
+        blob = fi.read()
+    if manifest.get("codec") == "bf16":
+        blob = blob[:16] + _bf16_bytes_to_f32(blob[16:])
+    with open(dst + ".tmp", "wb") as fo:
+        fo.write(blob)
     os.replace(dst + ".tmp", dst)
     log(f"artifact restored: {dst} (seen={manifest.get('seen')})")
     return dst
